@@ -1,0 +1,32 @@
+"""Test harness config: force a virtual 8-device CPU mesh before JAX import.
+
+Multi-chip sharding is validated without TPU pods by running pjit/shard_map
+over 8 virtual CPU devices (the driver separately dry-runs
+__graft_entry__.dryrun_multichip the same way)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (env may carry a TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+# The axon TPU plugin ignores JAX_PLATFORMS and stays the default backend;
+# pin the default device to CPU so tests run f64-exact and fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from fixtures import ensure_fixtures  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def fixture_paths():
+    return ensure_fixtures()
