@@ -1,0 +1,148 @@
+"""Batched 10 Hz epoch solve: ephemeris -> per-block synthesis parameters.
+
+Replaces the reference's scalar per-channel epoch refresh
+(plutogpssim.c:2656-2687 + computeCodePhase c:1754-1787) with one jitted,
+vmapped JAX computation per 30 s superframe:
+
+    ranges  : vmap over (epoch, satellite) of compute_range
+    params  : per block k, pairs (rho[k], rho[k+1]) -> f_carr, f_code,
+              code phase/word/bit/code counters, gain
+
+Runs on the CPU JAX backend (f64; see utils.hostjax).  All outputs are
+TPU-kernel-ready: int32 counters and f64 values later split into
+int/f32 anchors.
+
+Exactness notes vs the reference:
+  * rhorate uses the (rho1-rho0)/dt pair, rho0 anchored one epoch back
+    (c:1760); block k covers scenario time [t_k, t_{k+1}).
+  * ms = ((t_prev - g0_databit) + 6.0 - rho0/c)*1e3, truncated to int ms,
+    then split 600/20/1 ms into word/bit/code counters (c:1767-1778).
+  * gain = (20200000/d) * ant_pat[(90 - el_deg)/5] (c:2678-2685).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    CA_SEQ_LEN,
+    CARR_TO_CODE,
+    CODE_FREQ,
+    LAMBDA_L1,
+    PATH_LOSS_NUMERATOR,
+    R2D,
+    SPEED_OF_LIGHT,
+    LAMBDA_L1 as _LAMBDA,
+)
+from ..models import orbits
+from ..models.tables import ant_pat_linear
+from ..types import Ephemerides, IonoUtc
+from ..utils.hostjax import cpu_jit
+
+__all__ = ["solve_ranges", "ranges_to_params", "solve_superframe"]
+
+_ANT_PAT = jnp.asarray(ant_pat_linear())
+
+
+@cpu_jit
+def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
+                 g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+    """compute_range over a [n_epochs] grid x [32] satellites.
+
+    g_secs: [n_epochs] GPS seconds-of-week; rx_pos: [n_epochs, 3] ECEF.
+    Returns dict of arrays [n_epochs, 32]."""
+    return jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
+        g_secs, rx_pos)
+
+
+@cpu_jit
+def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
+                     rho_el: jnp.ndarray, t_rel: jnp.ndarray,
+                     g0_offset: jnp.ndarray, dt: float):
+    """Per-block channel parameters from consecutive range pairs.
+
+    Inputs are per-channel gathers over the epoch grid:
+      rho_range [n_epochs, C] pseudoranges, rho_d / rho_el likewise,
+      t_rel [n_epochs] epoch seconds relative to the superframe start,
+      g0_offset [C] = (superframe start - data-bit reference g0) seconds.
+    Block k (k in [0, n_epochs-1)) uses epochs k (anchor) and k+1.
+
+    Returns dict of [n_blocks, C]: f_carr, f_code, code_phase, iword,
+    ibit, icode, gain."""
+    rho0 = rho_range[:-1]      # anchor epoch ranges  [n_blocks, C]
+    rho1 = rho_range[1:]
+    rhorate = (rho1 - rho0) / dt
+    f_carr = -rhorate / LAMBDA_L1
+    f_code = CODE_FREQ + f_carr * CARR_TO_CODE
+
+    # ms since data-bit reference (+1 subframe), minus range latency
+    t_anchor = t_rel[:-1][:, None] + g0_offset[None, :]
+    ms = ((t_anchor + 6.0) - rho0 / SPEED_OF_LIGHT) * 1000.0
+    ims = ms.astype(jnp.int32)          # C (int) truncation (ms >= 0 here)
+    code_phase = (ms - ims) * CA_SEQ_LEN
+
+    iword = ims // 600
+    ims = ims - iword * 600
+    ibit = ims // 20
+    ims = ims - ibit * 20
+    icode = ims
+
+    # Gain from the *current* epoch's geometry (c:2678-2685 uses rho at
+    # the epoch solve, i.e. the k+1 range of the block pair)
+    d1 = rho_d[1:]
+    el1 = rho_el[1:]
+    path_loss = PATH_LOSS_NUMERATOR / d1
+    ibs = ((90.0 - el1 * R2D) / 5.0).astype(jnp.int32)
+    ant_gain = _ANT_PAT[ibs]
+    gain = path_loss * ant_gain
+
+    return {
+        "f_carr": f_carr, "f_code": f_code, "code_phase": code_phase,
+        "iword": iword, "ibit": ibit, "icode": icode, "gain": gain,
+    }
+
+
+def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
+                     g_secs: np.ndarray, t_rel: np.ndarray,
+                     rx_pos: np.ndarray,
+                     sv_idx: np.ndarray, active: np.ndarray,
+                     g0_offset: np.ndarray, rho0_range: np.ndarray,
+                     dt: float = 0.1):
+    """Full epoch solve for one superframe.
+
+    g_secs [n_epochs]: epoch grid t_0..t_M seconds-of-week (t_0 = anchor
+      carried from the previous superframe / allocation).
+    t_rel [n_epochs]: week-aware seconds since t_0 (g_secs alone is
+      ambiguous across GPS week rollovers).
+    rx_pos [n_epochs, 3], sv_idx [C] satellite index per channel (0-based,
+      arbitrary for inactive channels), active [C] bool, g0_offset [C]
+      seconds from each channel's data-bit reference time to t_0,
+      rho0_range [C] override pseudorange anchor at t_0 (carried across
+      superframes / from allocation, possibly computed with the previous
+      ephemeris set at rollovers — reference c:2774-2790 semantics).
+
+    Returns (params dict [n_blocks, C], carry dict for the next superframe).
+    """
+    rho = solve_ranges(eph, ionoutc, jnp.asarray(g_secs), jnp.asarray(rx_pos))
+    rng = np.asarray(rho["range"])[:, sv_idx]        # [n_epochs, C]
+    d = np.asarray(rho["d"])[:, sv_idx]
+    azel = np.asarray(rho["azel"])[:, sv_idx, :]
+    el = azel[..., 1]
+
+    # anchor override at t_0 (cross-superframe continuity)
+    rng = rng.copy()
+    rng[0] = np.where(active, rho0_range, rng[0])
+    params = ranges_to_params(jnp.asarray(rng), jnp.asarray(d),
+                              jnp.asarray(el), jnp.asarray(t_rel),
+                              jnp.asarray(g0_offset), dt)
+    params = {k: np.asarray(v) for k, v in params.items()}
+    params["active"] = np.broadcast_to(active, params["f_carr"].shape).copy()
+    params["azel"] = azel[1:]  # per-block az/el (epoch k+1), for logging
+
+    carry = {
+        "rho0_range": rng[-1],     # anchor for the next superframe's t_0
+        "azel_last": azel[-1],
+    }
+    return params, carry

@@ -1,0 +1,273 @@
+"""Fused Pallas TPU kernel for composite GPS L1 C/A IQ synthesis.
+
+One kernel replaces the reference's entire per-sample hot loop
+(plutogpssim.c:2690-2756).  Per (block, time-tile) grid cell it evaluates,
+for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
+
+  carrier   uint32 NCO + f32 step-quantization residual ramp:
+            phase = phase0_u32 + step_u32*n + round_res(n); LUT index =
+            phase >> 23 replicates floor(carr_phase*512) (c:2697) to
+            ~1e-9 cycles
+  code      three-level integer NCO:
+            chips*4096 = cp0_q12 + v_q12*n
+                       + ((res0_q24 + r_q24*n + trunc(rr*n)) >> 12)
+            Q12 + Q24 exact integer ramps + f32 third-level residual
+            (~1e-9 chip precision; chip-boundary jitter vanishes)
+  nav bits  folded into a per-(block,channel) 32-bit mask indexed by
+            q = (icode0 + code_periods)//20 — zero gathers (c:2732)
+  C/A chips +-1 table [8,128] per channel; 8-way lane-gather select tree
+            (Mosaic's 2D take_along_axis along lanes) (c:2737)
+  mixing    per-block gain-scaled truncated LUTs built once into VMEM
+            scratch; C's `(int)(dataBit*codeCA*table*gain)` truncation
+            is reproduced exactly as sign * trunc(table*gain) (c:2701-2702)
+  output    (I & 0xffff) | (Q << 16) int32 — memory-identical to the
+            reference's interleaved little-endian int16 stream (c:2754)
+
+All per-(block,channel) parameters are packed into two [M, 8, 128] VMEM
+planes (int32 and float32), read back as scalars with static lane
+indices — SMEM is too small for thousands of blocks of prefetched
+parameters, and Mosaic has no scalar bitcast.
+
+Channel slots are static (12), masked by zeroed gain tables, so rise/set
+never changes shapes.  Multiple 30 s superframes batch into one call
+(C/A tables selected per block through the prefetched block->superframe
+map), amortizing dispatch overhead across minutes of signal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import CA_SEQ_LEN, MAX_CHAN
+from ..models.tables import COS_TABLE_512, SIN_TABLE_512
+
+__all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
+           "TILE_SAMPLES"]
+
+TILE_SAMPLES = 2048          # 16 sublanes x 128 lanes of int32
+_SUB = 16
+_LANES = 128
+_C = MAX_CHAN
+
+# packed-parameter column bases (x12 channels each); ints and floats in
+# separate planes (Mosaic has no scalar bitcast)
+_P_PHASE0, _P_STEP, _P_CP0Q, _P_VQ, _P_NBM, _P_IC0 = 0, 12, 24, 36, 48, 60
+_P_RES0Q24, _P_R24 = 72, 84
+_F_STEPRES, _F_RR, _F_GAIN = 0, 12, 24
+
+
+def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
+            sintab_ref, out_ref, qcos_scr, qsin_scr):
+    t = pl.program_id(1)
+
+    def geti(col, c):
+        return prmi_ref[0, 0, col + c]
+
+    def getf(col, c):
+        return prmf_ref[0, 0, col + c]
+
+    # --- per-block setup: gain-scaled truncated +-LUTs into scratch ------
+    @pl.when(t == 0)
+    def _build_tables():
+        for c in range(_C):
+            g = getf(_F_GAIN, c)
+            for r in range(4):
+                ct = costab_ref[r, :].astype(jnp.float32) * g
+                st = sintab_ref[r, :].astype(jnp.float32) * g
+                qcos_scr[c, r, :] = ct.astype(jnp.int32)  # trunc toward 0
+                qsin_scr[c, r, :] = st.astype(jnp.int32)
+
+    # --- per-sample index ramps ------------------------------------------
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
+    n = t * TILE_SAMPLES + sub * _LANES + lane
+    nf = n.astype(jnp.float32)
+
+    acc_i = jnp.zeros((_SUB, _LANES), jnp.int32)
+    acc_q = jnp.zeros((_SUB, _LANES), jnp.int32)
+
+    for c in range(_C):
+        # carrier NCO: u32 ramp + f32 step-quantization residual
+        resc = (getf(_F_STEPRES, c) * nf).astype(jnp.int32)
+        phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
+        itab = jax.lax.shift_right_logical(phase, jnp.int32(23)) & jnp.int32(511)
+        ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
+        ilo = itab & jnp.int32(127)
+
+        # code NCO: Q12 + Q24 integer ramps + f32 third-level residual
+        rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
+            + (getf(_F_RR, c) * nf).astype(jnp.int32)
+        tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
+            + jax.lax.shift_right_logical(rq24, jnp.int32(12))
+        chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
+        w = chip // jnp.int32(CA_SEQ_LEN)
+        cidx = chip - w * jnp.int32(CA_SEQ_LEN)
+        chi = jax.lax.shift_right_logical(cidx, jnp.int32(7))   # 0..7
+        clo = cidx & jnp.int32(127)
+
+        # nav bit from per-block mask
+        q = ((geti(_P_IC0, c) + w) // jnp.int32(20)) & jnp.int32(31)
+        mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
+        nav = jnp.int32(1) - jnp.int32(2) * (
+            jax.lax.shift_right_logical(mask, q) & jnp.int32(1))
+
+        # C/A chip sign: 8-way lane-gather select tree
+        s = jnp.zeros((_SUB, _LANES), jnp.int32)
+        for r in range(8):
+            row = jnp.broadcast_to(ca2_ref[0, c, r, :], (_SUB, _LANES))
+            g = jnp.take_along_axis(row, clo, axis=1)
+            s = jnp.where(chi == r, g, s)
+        s = s * nav
+
+        # gain-scaled LUT values: 4-way select tree per table
+        iv = jnp.zeros((_SUB, _LANES), jnp.int32)
+        qv = jnp.zeros((_SUB, _LANES), jnp.int32)
+        for r in range(4):
+            crow = jnp.broadcast_to(qcos_scr[c, r, :], (_SUB, _LANES))
+            srow = jnp.broadcast_to(qsin_scr[c, r, :], (_SUB, _LANES))
+            gc = jnp.take_along_axis(crow, ilo, axis=1)
+            gs = jnp.take_along_axis(srow, ilo, axis=1)
+            sel = ihi == r
+            iv = jnp.where(sel, gc, iv)
+            qv = jnp.where(sel, gs, qv)
+
+        acc_i = acc_i + s * iv
+        acc_q = acc_q + s * qv
+
+    packed = (acc_i & jnp.int32(0xFFFF)) | jax.lax.shift_left(
+        acc_q, jnp.int32(16))
+    out_ref[0, 0, :, :] = packed
+
+
+@functools.cache
+def _build_fn(n_blocks: int, n_tiles: int, n_sf: int):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # sf_map
+        grid=(n_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 8, _LANES), lambda b, t, sf_map: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # int params
+            pl.BlockSpec((1, 8, _LANES), lambda b, t, sf_map: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # float params
+            pl.BlockSpec((1, _C, 8, _LANES),
+                         lambda b, t, sf_map: (sf_map[b], 0, 0, 0),
+                         memory_space=pltpu.VMEM),       # C/A tables
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # costab [4,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # sintab [4,128]
+        ],
+        out_specs=pl.BlockSpec((1, 1, _SUB, _LANES),
+                               lambda b, t, sf_map: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_C, 4, _LANES), jnp.int32),
+            pltpu.VMEM((_C, 4, _LANES), jnp.int32),
+        ],
+    )
+    out_shape = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES),
+                                     jnp.int32)
+    return jax.jit(pl.pallas_call(_kernel, out_shape=out_shape,
+                                  grid_spec=grid_spec))
+
+
+def build_block_params(dp):
+    """ops.synth_jnp.DevicePlan -> packed ([M,8,128] i32, [M,8,128] f32)."""
+    # Q24 residual ramp bound: r24*n must stay inside int32
+    assert dp.block_samples <= 524_000, \
+        "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
+    M, C = dp.active.shape
+    act = dp.active
+    c0 = np.where(act, dp.c0, 0.0)
+    u = np.where(act, dp.u, 0.0)
+    cp0 = np.where(act, dp.cp0, 0.0)
+    v = np.where(act, dp.v, 0.0)
+
+    phase0 = np.round((c0 - np.floor(c0)) * 2.0**32).astype(np.int64)
+    step_exact = (u - np.floor(u)) * 2.0**32
+    step = np.round(step_exact).astype(np.int64)
+    phase0_u32 = (phase0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    step_u32 = (step & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    stepres = (step_exact - step).astype(np.float32)
+
+    cp0q = np.floor(cp0 * 4096.0)
+    res0q24 = np.floor((cp0 * 4096.0 - cp0q) * 4096.0)
+    vq = np.floor(v * 4096.0)
+    r4 = v * 4096.0 - vq                      # q12 residual per sample
+    r24 = np.floor(r4 * 4096.0)               # q24 integer step
+    rr = ((r4 - r24 / 4096.0) * 4096.0).astype(np.float32)  # q24 3rd level
+
+    # nav-bit mask: bit q = 0/1 value of nav bit at index B0 + q
+    b0 = np.where(act, dp.b0, 0)
+    ic0 = np.where(act, dp.ic0, 0).astype(np.int32)
+    qidx = b0[..., None] + np.arange(32)[None, None, :]      # [M, C, 32]
+    qidx = np.clip(qidx, 0, dp.bits.shape[1] - 1)
+    bitvals = np.take_along_axis(
+        np.broadcast_to(dp.bits[None], (M,) + dp.bits.shape), qidx, axis=2)
+    bit01 = (1 - bitvals.astype(np.int64)) // 2              # +1->0, -1->1
+    nbmask = np.zeros((M, C), dtype=np.int64)
+    for qb in range(32):
+        nbmask |= bit01[..., qb] << qb
+    nbmask = (nbmask & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    gain = np.where(act, dp.gain, 0.0).astype(np.float32)
+
+    prmi = np.zeros((M, 8 * _LANES), dtype=np.int32)
+    prmf = np.zeros((M, 8 * _LANES), dtype=np.float32)
+    prmi[:, _P_PHASE0:_P_PHASE0 + C] = phase0_u32
+    prmi[:, _P_STEP:_P_STEP + C] = step_u32
+    prmi[:, _P_CP0Q:_P_CP0Q + C] = cp0q.astype(np.int32)
+    prmi[:, _P_VQ:_P_VQ + C] = vq.astype(np.int32)
+    prmi[:, _P_NBM:_P_NBM + C] = nbmask
+    prmi[:, _P_IC0:_P_IC0 + C] = ic0
+    prmi[:, _P_RES0Q24:_P_RES0Q24 + C] = res0q24.astype(np.int32)
+    prmi[:, _P_R24:_P_R24 + C] = r24.astype(np.int32)
+    prmf[:, _F_STEPRES:_F_STEPRES + C] = stepres
+    prmf[:, _F_RR:_F_RR + C] = rr
+    prmf[:, _F_GAIN:_F_GAIN + C] = gain
+    return prmi.reshape(M, 8, _LANES), prmf.reshape(M, 8, _LANES)
+
+
+def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:
+    """Per-superframe +-1 C/A tables -> [NS, C, 8, 128] int32 (pad to 1024)."""
+    ns = len(ca2_list)
+    out = np.zeros((ns, _C, 8, _LANES), dtype=np.int32)
+    for s, ca2 in enumerate(ca2_list):
+        padded = np.concatenate(
+            [ca2.astype(np.int32),
+             np.ones((_C, 8 * _LANES - CA_SEQ_LEN), np.int32)], axis=1)
+        out[s] = padded.reshape(_C, 8, _LANES)
+    return out
+
+
+_COSTAB = COS_TABLE_512.reshape(4, _LANES).astype(np.int32)
+_SINTAB = SIN_TABLE_512.reshape(4, _LANES).astype(np.int32)
+
+
+def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
+                        sf_map: np.ndarray, block_samples: int,
+                        device=None) -> jax.Array:
+    """Run the fused kernel.
+
+    prm: build_block_params output (int plane, float plane); ca2_tables:
+    [NS, C, 8, 128] int32; sf_map: [M] int32 block->superframe map.
+    Returns packed int32 IQ [M, n_tiles*TILE_SAMPLES]; trim each row to
+    block_samples and .view(int16) for the interleaved stream."""
+    prmi, prmf = prm
+    M = prmi.shape[0]
+    nt = -(-block_samples // TILE_SAMPLES)
+    fn = _build_fn(M, nt, ca2_tables.shape[0])
+    args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
+            jnp.asarray(prmf), jnp.asarray(ca2_tables),
+            jnp.asarray(_COSTAB), jnp.asarray(_SINTAB)]
+    if device is not None:
+        args = [jax.device_put(a, device) for a in args]
+    # all kernel dtypes are 32-bit; x64 (needed by the epoch path) must be
+    # off during tracing or jnp.take_along_axis promotes indices to int64
+    with jax.enable_x64(False):
+        out = fn(*args)
+    return out.reshape(M, nt * TILE_SAMPLES)

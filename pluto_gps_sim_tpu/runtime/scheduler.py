@@ -1,0 +1,207 @@
+"""Superframe scheduler: host control plane for the TPU synthesis stream.
+
+The reference interleaves everything in one sequential loop (epoch solve,
+sample loop, 30 s nav/allocation updates, c:2655-2806).  The TPU design
+splits control from compute: this scheduler plans *superframes* (runs of
+0.1 s blocks between consecutive 30 s boundaries), does all host-side
+control at the boundaries in exactly the reference's order —
+
+    1. generate_nav_msg(init=0) for active channels   (c:2769-2772)
+    2. ephemeris-set rollover (rebuild subframes only) (c:2774-2790)
+    3. channel re-allocation                           (c:2792-2797)
+
+— and emits a SuperframePlan whose arrays fully determine the device
+synthesis (closed-form phase ramps).  Carrier phase is the only state
+chained across blocks: c0[k+1] = frac(c0[k] + f_carr*delt*N) (the
+per-sample NCO accumulation in c:2741-2746 telescopes to this).
+
+Motion indexing preserves the reference's off-by-one: the epoch at
+scenario block k (k >= 1) uses motion sample (k-1) mod numd (iumd is
+incremented at the *end* of each loop iteration, c:2802-2805), and the
+initial allocation uses sample 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import CA_SEQ_LEN, MAX_CHAN, N_DWRD
+from ..ingest.rinex import RinexResult
+from ..models import lnav
+from ..models.cacode import CA_TABLE
+from ..models.gpstime import GpsTime, inc_gps_time, sub_gps_time
+from ..ops.epoch import solve_superframe
+from ..types import IonoUtc
+from . import scenario as scenario_mod
+from .allocator import ChannelState, allocate_channels
+
+__all__ = ["SuperframePlan", "Scheduler"]
+
+_BLOCK_DT = 0.1
+
+
+@dataclass
+class SuperframePlan:
+    """Device-ready synthesis plan for one superframe of M blocks."""
+
+    n_blocks: int
+    block_samples: int
+    delt: float
+    # per-channel constants for this superframe
+    prn: np.ndarray          # [C] int32, 0 = inactive
+    ca2: np.ndarray          # [C, 1023] int8, chips as +-1
+    bits: np.ndarray         # [C, 1800] int8, nav bits as +-1
+    # per-(block, channel) parameters
+    active: np.ndarray       # [M, C] bool
+    f_carr: np.ndarray       # [M, C] f64
+    f_code: np.ndarray       # [M, C] f64
+    code_phase: np.ndarray   # [M, C] f64 chips
+    icode: np.ndarray        # [M, C] int32
+    ibit: np.ndarray         # [M, C] int32
+    iword: np.ndarray        # [M, C] int32
+    carr_phase: np.ndarray   # [M, C] f64 cycles, block-start
+    gain: np.ndarray         # [M, C] f64
+    azel: np.ndarray         # [M, C, 2] f64 (diagnostics)
+    t0_sec: float = 0.0      # superframe start, GPS seconds of week
+
+
+class Scheduler:
+    """Plans superframes and owns all mutable scenario state."""
+
+    def __init__(self, rin: RinexResult, start: GpsTime, ieph: int,
+                 xyz: np.ndarray, fs: float,
+                 block_samples: int | None = None,
+                 static_mode: bool = True):
+        self.rin = rin
+        self.ionoutc: IonoUtc = rin.ionoutc
+        self.ieph = ieph
+        self.xyz = np.atleast_2d(np.asarray(xyz, dtype=np.float64))
+        self.numd = self.xyz.shape[0]
+        self.static_mode = static_mode
+        self.fs = float(fs)
+        self.delt = 1.0 / float(fs)
+        self.block_samples = int(block_samples or round(fs / 10))
+
+        self.g_start = start
+        self.jblk = 0  # global block counter: current anchor = start + 0.1*jblk
+        self.state = ChannelState()
+
+        # initial allocation at t_0 with motion sample 0 (c:2629-2632)
+        allocate_channels(self.state, rin.eph[ieph], self.ionoutc, start,
+                          self.xyz[0])
+
+    # -- helpers -----------------------------------------------------------
+
+    def _epoch_time(self, k: int) -> GpsTime:
+        return inc_gps_time(self.g_start, _BLOCK_DT * k)
+
+    def _motion_index(self, k: int) -> int:
+        if self.static_mode or k <= 0:
+            return 0
+        return (k - 1) % self.numd
+
+    def _blocks_to_boundary(self) -> int:
+        """Blocks from the current anchor to the next 30 s boundary."""
+        t0 = self._epoch_time(self.jblk)
+        igrx = int(round(t0.sec * 10.0))
+        rem = (-igrx) % 300
+        return rem if rem > 0 else 300
+
+    # -- planning ----------------------------------------------------------
+
+    def plan(self, max_blocks: int) -> SuperframePlan | None:
+        """Plan the next superframe (up to max_blocks blocks), advance all
+        host state, and run boundary updates when a 30 s boundary is hit."""
+        if max_blocks <= 0:
+            return None
+        M = min(self._blocks_to_boundary(), max_blocks)
+
+        st = self.state
+        t0 = self._epoch_time(self.jblk)
+        g_secs = np.empty(M + 1, dtype=np.float64)
+        t_rel = np.empty(M + 1, dtype=np.float64)
+        rx = np.empty((M + 1, 3), dtype=np.float64)
+        for j in range(M + 1):
+            k = self.jblk + j
+            tk = self._epoch_time(k)
+            g_secs[j] = tk.sec
+            t_rel[j] = sub_gps_time(tk, t0)
+            rx[j] = self.xyz[self._motion_index(k)]
+
+        active = st.active.copy()
+        g0_offset = np.array([
+            sub_gps_time(t0, GpsTime(int(st.g0_week[c]), float(st.g0_sec[c])))
+            if active[c] else 0.0
+            for c in range(MAX_CHAN)], dtype=np.float64)
+
+        eph = self.rin.eph[self.ieph]
+        params, carry = solve_superframe(
+            eph, self.ionoutc, g_secs, t_rel, rx, st.sv_idx, active,
+            g0_offset, st.rho0_range, dt=_BLOCK_DT)
+
+        # carrier-phase chain across blocks (f64, per-block wrap like the
+        # reference's per-sample wrap — equivalent to fp noise)
+        c0 = np.zeros((M, MAX_CHAN), dtype=np.float64)
+        c = st.carr_phase.copy()
+        adv = params["f_carr"] * self.delt  # fl(f_carr*delt), per block
+        for k in range(M):
+            c0[k] = c
+            step = adv[k] * self.block_samples
+            c = c + np.where(active, step, 0.0)
+            c -= np.floor(c)
+        st.carr_phase = np.where(active, c, st.carr_phase)
+        st.rho0_range = np.where(active, carry["rho0_range"], st.rho0_range)
+        st.azel = np.where(active[:, None], carry["azel_last"], st.azel)
+
+        plan = SuperframePlan(
+            n_blocks=M, block_samples=self.block_samples, delt=self.delt,
+            prn=st.prn.copy(),
+            ca2=(CA_TABLE[st.sv_idx] * 2 - 1).astype(np.int8),
+            bits=self._bits_table(),
+            active=params["active"] & active[None, :],
+            f_carr=params["f_carr"], f_code=params["f_code"],
+            code_phase=params["code_phase"], icode=params["icode"],
+            ibit=params["ibit"], iword=params["iword"],
+            carr_phase=c0, gain=params["gain"], azel=params["azel"],
+            t0_sec=float(t0.sec),
+        )
+
+        # advance to t_M and run boundary updates if it is a 30 s boundary
+        self.jblk += M
+        t_end = self._epoch_time(self.jblk)
+        if int(round(t_end.sec * 10.0)) % 300 == 0:
+            self._boundary_update(t_end)
+        return plan
+
+    def _bits_table(self) -> np.ndarray:
+        """dwrd[60] words -> per-channel +-1 bit table [C, 1800]."""
+        st = self.state
+        words = st.dwrd.astype(np.uint32)            # [C, 60]
+        shifts = (29 - np.arange(30, dtype=np.uint32))[None, None, :]
+        bits = ((words[:, :, None] >> shifts) & 1).astype(np.int8)
+        return (bits.reshape(MAX_CHAN, N_DWRD * 30) * 2 - 1).astype(np.int8)
+
+    def _boundary_update(self, grx: GpsTime) -> None:
+        st = self.state
+        # 1. nav message refresh (shift SF5, new frame) for active channels
+        for c in range(MAX_CHAN):
+            if st.prn[c] > 0:
+                g0 = lnav.generate_nav_msg(grx, st.sbf[c], st.dwrd[c],
+                                           init=False)
+                st.g0_week[c] = g0.week
+                st.g0_sec[c] = g0.sec
+        # 2. ephemeris-set rollover: rebuild subframes only (takes effect
+        #    at the *next* boundary's nav refresh, like the reference)
+        new_ieph = scenario_mod.advance_ephemeris_set(self.rin, self.ieph, grx)
+        if new_ieph != self.ieph:
+            self.ieph = new_ieph
+            eph = self.rin.eph[self.ieph]
+            for c in range(MAX_CHAN):
+                if st.prn[c] > 0:
+                    st.sbf[c] = lnav.eph_to_subframes(eph, int(st.prn[c]) - 1,
+                                                      self.ionoutc)
+        # 3. channel re-allocation (rise/set)
+        allocate_channels(st, self.rin.eph[self.ieph], self.ionoutc, grx,
+                          self.xyz[self._motion_index(self.jblk)])
