@@ -15,11 +15,14 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
             (~1e-9 chip precision; chip-boundary jitter vanishes)
   nav bits  folded into a per-(block,channel) 32-bit mask indexed by
             q = (icode0 + code_periods)//20 — zero gathers (c:2732)
-  C/A chips +-1 table [8,128] per channel; 8-way lane-gather select tree
-            (Mosaic's 2D take_along_axis along lanes) (c:2737)
-  mixing    per-block gain-scaled truncated LUTs built once into VMEM
-            scratch; C's `(int)(dataBit*codeCA*table*gain)` truncation
-            is reproduced exactly as sign * trunc(table*gain) (c:2701-2702)
+  C/A chips bit-packed: 1023 chips -> 32 uint32 words in one 128-lane
+            row; one lane-gather + variable shift replaces a table walk
+            (c:2737)
+  mixing    per-block gain-scaled truncated LUTs (cos packed in the low
+            16 bits, sin in the high 16 of one int32 table) built once
+            into VMEM scratch; C's `(int)(dataBit*codeCA*table*gain)`
+            truncation is reproduced exactly as sign * trunc(table*gain)
+            (c:2701-2702)
   output    (I & 0xffff) | (Q << 16) int32 — memory-identical to the
             reference's interleaved little-endian int16 stream (c:2754)
 
@@ -50,8 +53,8 @@ from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
            "TILE_SAMPLES"]
 
-TILE_SAMPLES = 2048          # 16 sublanes x 128 lanes of int32
-_SUB = 16
+TILE_SAMPLES = 8192          # 64 sublanes x 128 lanes of int32
+_SUB = 64
 _LANES = 128
 _C = MAX_CHAN
 
@@ -63,7 +66,7 @@ _F_STEPRES, _F_RR, _F_GAIN = 0, 12, 24
 
 
 def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
-            sintab_ref, out_ref, qcos_scr, qsin_scr):
+            sintab_ref, out_ref, lut_scr, acc_scr):
     t = pl.program_id(1)
 
     def geti(col, c):
@@ -78,10 +81,12 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
         for c in range(_C):
             g = getf(_F_GAIN, c)
             for r in range(4):
-                ct = costab_ref[r, :].astype(jnp.float32) * g
-                st = sintab_ref[r, :].astype(jnp.float32) * g
-                qcos_scr[c, r, :] = ct.astype(jnp.int32)  # trunc toward 0
-                qsin_scr[c, r, :] = st.astype(jnp.int32)
+                ct = (costab_ref[r, :].astype(jnp.float32) * g
+                      ).astype(jnp.int32)               # trunc toward 0
+                st = (sintab_ref[r, :].astype(jnp.float32) * g
+                      ).astype(jnp.int32)
+                lut_scr[c, r, :] = (ct & jnp.int32(0xFFFF)) | \
+                    jax.lax.shift_left(st, jnp.int32(16))
 
     # --- per-sample index ramps ------------------------------------------
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
@@ -89,59 +94,59 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
     n = t * TILE_SAMPLES + sub * _LANES + lane
     nf = n.astype(jnp.float32)
 
-    acc_i = jnp.zeros((_SUB, _LANES), jnp.int32)
-    acc_q = jnp.zeros((_SUB, _LANES), jnp.int32)
+    acc_scr[0] = jnp.zeros((_SUB, _LANES), jnp.int32)
+    acc_scr[1] = jnp.zeros((_SUB, _LANES), jnp.int32)
 
     for c in range(_C):
-        # carrier NCO: u32 ramp + f32 step-quantization residual
-        resc = (getf(_F_STEPRES, c) * nf).astype(jnp.int32)
-        phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
-        itab = jax.lax.shift_right_logical(phase, jnp.int32(23)) & jnp.int32(511)
-        ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
-        ilo = itab & jnp.int32(127)
+      # inactive channels are zero-gain; skip their work entirely
+      @pl.when(getf(_F_GAIN, c) != 0.0)
+      def _chan(c=c):
+          # carrier NCO: u32 ramp + f32 step-quantization residual
+          resc = (getf(_F_STEPRES, c) * nf).astype(jnp.int32)
+          phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
+          itab = jax.lax.shift_right_logical(phase, jnp.int32(23)) & jnp.int32(511)
+          ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
+          ilo = itab & jnp.int32(127)
 
-        # code NCO: Q12 + Q24 integer ramps + f32 third-level residual
-        rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
-            + (getf(_F_RR, c) * nf).astype(jnp.int32)
-        tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
-            + jax.lax.shift_right_logical(rq24, jnp.int32(12))
-        chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
-        w = chip // jnp.int32(CA_SEQ_LEN)
-        cidx = chip - w * jnp.int32(CA_SEQ_LEN)
-        chi = jax.lax.shift_right_logical(cidx, jnp.int32(7))   # 0..7
-        clo = cidx & jnp.int32(127)
+          # code NCO: Q12 + Q24 integer ramps + f32 third-level residual
+          rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
+              + (getf(_F_RR, c) * nf).astype(jnp.int32)
+          tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
+              + jax.lax.shift_right_logical(rq24, jnp.int32(12))
+          chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
+          w = chip // jnp.int32(CA_SEQ_LEN)
+          cidx = chip - w * jnp.int32(CA_SEQ_LEN)
 
-        # nav bit from per-block mask
-        q = ((geti(_P_IC0, c) + w) // jnp.int32(20)) & jnp.int32(31)
-        mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
-        nav = jnp.int32(1) - jnp.int32(2) * (
-            jax.lax.shift_right_logical(mask, q) & jnp.int32(1))
+          # nav bit from per-block mask (0/1)
+          q = ((geti(_P_IC0, c) + w) // jnp.int32(20)) & jnp.int32(31)
+          mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
+          nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
 
-        # C/A chip sign: 8-way lane-gather select tree
-        s = jnp.zeros((_SUB, _LANES), jnp.int32)
-        for r in range(8):
-            row = jnp.broadcast_to(ca2_ref[0, c, r, :], (_SUB, _LANES))
-            g = jnp.take_along_axis(row, clo, axis=1)
-            s = jnp.where(chi == r, g, s)
-        s = s * nav
+          # C/A chip sign: bit-packed word gather + variable shift
+          wrow = jnp.broadcast_to(ca2_ref[0, c, 0, :], (_SUB, _LANES))
+          word = jnp.take_along_axis(
+              wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
+          cbit = jax.lax.shift_right_logical(
+              word, cidx & jnp.int32(31)) & jnp.int32(1)
+          # combined spreading sign: chip XOR nav, as 0/-1 mask
+          sgn = -(cbit ^ nbit)
 
-        # gain-scaled LUT values: 4-way select tree per table
-        iv = jnp.zeros((_SUB, _LANES), jnp.int32)
-        qv = jnp.zeros((_SUB, _LANES), jnp.int32)
-        for r in range(4):
-            crow = jnp.broadcast_to(qcos_scr[c, r, :], (_SUB, _LANES))
-            srow = jnp.broadcast_to(qsin_scr[c, r, :], (_SUB, _LANES))
-            gc = jnp.take_along_axis(crow, ilo, axis=1)
-            gs = jnp.take_along_axis(srow, ilo, axis=1)
-            sel = ihi == r
-            iv = jnp.where(sel, gc, iv)
-            qv = jnp.where(sel, gs, qv)
+          # packed cos|sin LUT: 4-way select tree, one gather per row
+          pk = jnp.zeros((_SUB, _LANES), jnp.int32)
+          for r in range(4):
+              prow = jnp.broadcast_to(lut_scr[c, r, :], (_SUB, _LANES))
+              gp = jnp.take_along_axis(prow, ilo, axis=1)
+              pk = jnp.where(ihi == r, gp, pk)
+          iv = jax.lax.shift_right_arithmetic(
+              jax.lax.shift_left(pk, jnp.int32(16)), jnp.int32(16))
+          qv = jax.lax.shift_right_arithmetic(pk, jnp.int32(16))
 
-        acc_i = acc_i + s * iv
-        acc_q = acc_q + s * qv
+          # conditional negate: (v ^ m) - m with m in {0,-1}
+          acc_scr[0] += (iv ^ sgn) - sgn
+          acc_scr[1] += (qv ^ sgn) - sgn
 
-    packed = (acc_i & jnp.int32(0xFFFF)) | jax.lax.shift_left(
-        acc_q, jnp.int32(16))
+    packed = (acc_scr[0] & jnp.int32(0xFFFF)) | jax.lax.shift_left(
+        acc_scr[1], jnp.int32(16))
     out_ref[0, 0, :, :] = packed
 
 
@@ -155,9 +160,9 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int):
                          memory_space=pltpu.VMEM),       # int params
             pl.BlockSpec((1, 8, _LANES), lambda b, t, sf_map: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # float params
-            pl.BlockSpec((1, _C, 8, _LANES),
+            pl.BlockSpec((1, _C, 1, _LANES),
                          lambda b, t, sf_map: (sf_map[b], 0, 0, 0),
-                         memory_space=pltpu.VMEM),       # C/A tables
+                         memory_space=pltpu.VMEM),       # C/A bit tables
             pl.BlockSpec(memory_space=pltpu.VMEM),       # costab [4,128]
             pl.BlockSpec(memory_space=pltpu.VMEM),       # sintab [4,128]
         ],
@@ -166,7 +171,7 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_C, 4, _LANES), jnp.int32),
-            pltpu.VMEM((_C, 4, _LANES), jnp.int32),
+            pltpu.VMEM((2, _SUB, _LANES), jnp.int32),
         ],
     )
     out_shape = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES),
@@ -233,15 +238,17 @@ def build_block_params(dp):
 
 
 def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:
-    """Per-superframe +-1 C/A tables -> [NS, C, 8, 128] int32 (pad to 1024)."""
+    """Per-superframe +-1 C/A tables -> bit-packed [NS, C, 1, 128] int32.
+
+    Chip k lives in bit (k & 31) of word (k >> 5); bit 1 encodes chip -1
+    (sign = 1 - 2*bit).  Words 32..127 are zero padding."""
     ns = len(ca2_list)
-    out = np.zeros((ns, _C, 8, _LANES), dtype=np.int32)
+    out = np.zeros((ns, _C, 1, _LANES), dtype=np.int64)
     for s, ca2 in enumerate(ca2_list):
-        padded = np.concatenate(
-            [ca2.astype(np.int32),
-             np.ones((_C, 8 * _LANES - CA_SEQ_LEN), np.int32)], axis=1)
-        out[s] = padded.reshape(_C, 8, _LANES)
-    return out
+        bits01 = (1 - ca2.astype(np.int64)) // 2          # -1 -> 1, +1 -> 0
+        for k in range(CA_SEQ_LEN):
+            out[s, :, 0, k >> 5] |= bits01[:, k] << (k & 31)
+    return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
 
 _COSTAB = COS_TABLE_512.reshape(4, _LANES).astype(np.int32)
