@@ -66,7 +66,10 @@ _F_STEPRES, _F_RR, _F_GAIN = 0, 12, 24
 
 
 def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
-            sintab_ref, out_ref, lut_scr, acc_scr):
+            sintab_ref, *out_and_scratch):
+    out_refs = out_and_scratch[:-2]
+    out_ref = out_refs[0] if len(out_refs) == 1 else list(out_refs)
+    lut_scr, acc_scr = out_and_scratch[-2:]
     t = pl.program_id(1)
 
     def geti(col, c):
@@ -145,13 +148,18 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
           acc_scr[0] += (iv ^ sgn) - sgn
           acc_scr[1] += (qv ^ sgn) - sgn
 
-    packed = (acc_scr[0] & jnp.int32(0xFFFF)) | jax.lax.shift_left(
-        acc_scr[1], jnp.int32(16))
-    out_ref[0, 0, :, :] = packed
+    if isinstance(out_ref, (tuple, list)):
+        out_ref[0][0, 0, :, :] = acc_scr[0]
+        out_ref[1][0, 0, :, :] = acc_scr[1]
+    else:
+        packed = (acc_scr[0] & jnp.int32(0xFFFF)) | jax.lax.shift_left(
+            acc_scr[1], jnp.int32(16))
+        out_ref[0, 0, :, :] = packed
 
 
 @functools.cache
-def _build_fn(n_blocks: int, n_tiles: int, n_sf: int):
+def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
+              packed: bool = True, interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sf_map
         grid=(n_blocks, n_tiles),
@@ -166,18 +174,22 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int):
             pl.BlockSpec(memory_space=pltpu.VMEM),       # costab [4,128]
             pl.BlockSpec(memory_space=pltpu.VMEM),       # sintab [4,128]
         ],
-        out_specs=pl.BlockSpec((1, 1, _SUB, _LANES),
-                               lambda b, t, sf_map: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, 1, _SUB, _LANES),
+                                lambda b, t, sf_map: (b, t, 0, 0),
+                                memory_space=pltpu.VMEM) if packed else
+                   tuple(pl.BlockSpec((1, 1, _SUB, _LANES),
+                                      lambda b, t, sf_map: (b, t, 0, 0),
+                                      memory_space=pltpu.VMEM)
+                         for _ in range(2))),
         scratch_shapes=[
             pltpu.VMEM((_C, 4, _LANES), jnp.int32),
             pltpu.VMEM((2, _SUB, _LANES), jnp.int32),
         ],
     )
-    out_shape = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES),
-                                     jnp.int32)
+    one = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES), jnp.int32)
+    out_shape = one if packed else (one, one)
     return jax.jit(pl.pallas_call(_kernel, out_shape=out_shape,
-                                  grid_spec=grid_spec))
+                                  grid_spec=grid_spec, interpret=interpret))
 
 
 def build_block_params(dp):
@@ -257,7 +269,8 @@ _SINTAB = SIN_TABLE_512.reshape(4, _LANES).astype(np.int32)
 
 def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         sf_map: np.ndarray, block_samples: int,
-                        device=None) -> jax.Array:
+                        device=None, packed: bool = True,
+                        interpret: bool = False):
     """Run the fused kernel.
 
     prm: build_block_params output (int plane, float plane); ca2_tables:
@@ -267,7 +280,7 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     prmi, prmf = prm
     M = prmi.shape[0]
     nt = -(-block_samples // TILE_SAMPLES)
-    fn = _build_fn(M, nt, ca2_tables.shape[0])
+    fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),
             jnp.asarray(_COSTAB), jnp.asarray(_SINTAB)]
@@ -277,4 +290,6 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     # off during tracing or jnp.take_along_axis promotes indices to int64
     with jax.enable_x64(False):
         out = fn(*args)
-    return out.reshape(M, nt * TILE_SAMPLES)
+    if packed:
+        return out.reshape(M, nt * TILE_SAMPLES)
+    return tuple(o.reshape(M, nt * TILE_SAMPLES) for o in out)

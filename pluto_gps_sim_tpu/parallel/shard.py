@@ -1,0 +1,81 @@
+"""Sharded composite synthesis: channel-psum x time-block SPMD.
+
+Maps the fused synthesis kernel over a ("time", "chan") mesh with
+jax.shard_map:
+
+  * blocks shard over "time" (no communication — phase parameters are
+    closed-form per block);
+  * channel slots shard over "chan": each shard synthesizes its subset
+    (others masked to zero gain), partial I/Q accumulate via psum over
+    ICI, and the int16 packing happens after the reduction — exactly the
+    reference's cross-satellite accumulator (plutogpssim.c:2705-2706)
+    turned into a collective.
+
+The per-shard compute is the Pallas kernel (compiled on TPU, interpreter
+mode elsewhere so the same path dry-runs on virtual CPU meshes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..constants import MAX_CHAN
+from ..ops import synth_pallas as sp
+
+__all__ = ["shard_channel_params", "synth_sharded"]
+
+
+def shard_channel_params(prmf: np.ndarray, n_chan_shards: int) -> np.ndarray:
+    """Replicate the float param plane per channel shard, zeroing the gain
+    of channels owned by other shards -> [n_shards, M, 8, 128]."""
+    out = np.repeat(prmf[None], n_chan_shards, axis=0)
+    bounds = np.linspace(0, MAX_CHAN, n_chan_shards + 1).astype(int)
+    for s in range(n_chan_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        for c in range(MAX_CHAN):
+            if not (lo <= c < hi):
+                out[s, :, 0, sp._F_GAIN + c] = 0.0
+    return out
+
+
+def synth_sharded(mesh: Mesh, prmi: np.ndarray, prmf_sharded: np.ndarray,
+                  ca2_tables: np.ndarray, sf_map: np.ndarray,
+                  block_samples: int, interpret: bool | None = None):
+    """Run the sharded synthesis over `mesh` -> packed int32 IQ [M, NT].
+
+    prmi [M,8,128] int32 (sharded over time), prmf_sharded
+    [chan_shards, M, 8, 128] f32 (sharded over (chan, time)),
+    ca2_tables replicated, sf_map [M] int32 (sharded over time)."""
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    n_time = mesh.shape["time"]
+    M = prmi.shape[0]
+    if M % n_time:
+        raise ValueError(f"blocks ({M}) must divide time shards ({n_time})")
+
+    nt = -(-block_samples // sp.TILE_SAMPLES)
+
+    def local(prmi_l, prmf_l, ca2, sf_l):
+        i_acc, q_acc = sp.synth_blocks_pallas(
+            (prmi_l, prmf_l[0]), ca2, sf_l, block_samples,
+            packed=False, interpret=interpret)
+        i_acc = jax.lax.psum(i_acc, "chan")
+        q_acc = jax.lax.psum(q_acc, "chan")
+        return (i_acc & jnp.int32(0xFFFF)) | jax.lax.shift_left(
+            q_acc, jnp.int32(16))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("time", None, None), P("chan", "time", None, None),
+                  P(None, None, None, None), P("time")),
+        out_specs=P("time", None),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )
+    with jax.enable_x64(False):
+        return fn(jnp.asarray(prmi), jnp.asarray(prmf_sharded),
+                  jnp.asarray(ca2_tables), jnp.asarray(sf_map, jnp.int32))
