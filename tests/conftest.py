@@ -30,3 +30,13 @@ from fixtures import ensure_fixtures  # noqa: E402
 @pytest.fixture(scope="session")
 def fixture_paths():
     return ensure_fixtures()
+
+
+@pytest.fixture(scope="session")
+def oracle_exe(tmp_path_factory):
+    """Reference simulator compiled against stub iio/curl libs."""
+    from ref_harness import harness
+    if not harness.reference_available():
+        pytest.skip("reference source not mounted")
+    out = tmp_path_factory.mktemp("oracle")
+    return harness.build_oracle(str(out))

@@ -44,14 +44,6 @@ def _snr_db(ref: np.ndarray, ours: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_err)
 
 
-@pytest.fixture(scope="session")
-def oracle_exe(tmp_path_factory):
-    if not harness.reference_available():
-        pytest.skip("reference source not mounted")
-    out = tmp_path_factory.mktemp("oracle")
-    return harness.build_oracle(str(out))
-
-
 def _run_scenario(oracle_exe, tmp_path, nav_file, extra_args):
     cap = os.path.join(str(tmp_path), "capture.bin")
     stderr = harness.run_oracle(oracle_exe, nav_file, cap, N_BLOCKS,
