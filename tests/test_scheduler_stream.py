@@ -1,0 +1,142 @@
+"""Scheduler / stream control-plane tests: 30 s boundary updates,
+ephemeris-set rollover, superframe-split invariance, rise/set handling,
+snapshot/restore.
+
+These exercise the host control plane the reference runs inline in its
+generation loop (plutogpssim.c:2762-2798) — nav refresh, rollover,
+re-allocation — and the TPU-design property that makes time-block
+sharding legal: any split of the block stream into superframes yields
+bit-identical IQ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pluto_gps_sim_tpu.constants import R2D
+from pluto_gps_sim_tpu.ingest import read_rinex2
+from pluto_gps_sim_tpu.models import lnav
+from pluto_gps_sim_tpu.models.geodesy import llh2xyz
+from pluto_gps_sim_tpu.models.gpstime import GpsTime, inc_gps_time
+from pluto_gps_sim_tpu.runtime import select_ephemeris_set, setup_scenario
+from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+from pluto_gps_sim_tpu.runtime.stream import IqStream
+
+TOKYO = np.array([35.681298 / R2D, 139.766247 / R2D, 10.0])
+FS = 1_000_000.0
+
+
+@pytest.fixture(scope="module")
+def rinex(fixture_paths):
+    return read_rinex2(fixture_paths["rinex2"])
+
+
+def _xyz():
+    return np.asarray(llh2xyz(TOKYO))
+
+
+def test_superframe_boundary_alignment(rinex):
+    """plan() must stop exactly at 30 s boundaries so nav/alloc updates
+    land where the reference's inline loop runs them (c:2762)."""
+    g0 = setup_scenario(rinex, None)
+    sched = Scheduler(rinex, g0, select_ephemeris_set(rinex, g0), _xyz(),
+                      fs=FS)
+    p1 = sched.plan(1000)
+    assert p1.n_blocks == 300  # t0 is a 30 s boundary -> full superframe
+    p2 = sched.plan(7)         # partial plans still advance correctly
+    assert p2.n_blocks == 7
+    p3 = sched.plan(1000)
+    assert p3.n_blocks == 293  # stops at the next boundary
+
+
+def test_ephemeris_rollover(rinex):
+    """Starting 29:30 into set 0's validity, the next set (toc +2 h) comes
+    within 1 h after 30 s of signal -> ieph advances and subframes are
+    rebuilt from the new set (c:2774-2790)."""
+    toc0 = GpsTime(int(rinex.eph[0].toc_week[0]),
+                   float(rinex.eph[0].toc_sec[0]))
+    g0 = inc_gps_time(toc0, 3570.0)
+    g0 = setup_scenario(rinex, g0)
+    ieph = select_ephemeris_set(rinex, g0)
+    assert ieph == 0
+    sched = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+
+    sched.plan(300)            # boundary at +30 s: dt == 3600, not yet (<)
+    assert sched.ieph == 0
+    sched.plan(300)            # boundary at +60 s: dt == 3570 -> rollover
+    assert sched.ieph == 1, "rollover did not advance the ephemeris set"
+    st = sched.state
+    c = int(np.flatnonzero(st.prn > 0)[0])
+    want = lnav.eph_to_subframes(rinex.eph[1], int(st.prn[c]) - 1,
+                                 rinex.ionoutc)
+    assert np.array_equal(st.sbf[c], want), "subframes not rebuilt"
+
+
+def test_split_invariance(rinex):
+    """Any superframe split yields bit-identical IQ — the property that
+    lets time-blocks shard freely across chips/hosts."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+
+    def run(max_blocks):
+        s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+        return s.generate(12), s
+
+    a, _ = run(None)
+    for split in (1, 5):
+        b_stream = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+        parts = list(b_stream.superframes(12, max_blocks=split))
+        b = np.concatenate(parts, axis=0)
+        assert np.array_equal(a, b), f"split={split} changed the stream"
+
+
+def test_rise_set_reallocation(rinex):
+    """Channels free when satellites set and new ones claim freed slots;
+    allocated_sat stays consistent (c:1936-1985 semantics)."""
+    g0 = setup_scenario(rinex, None)
+    sched = Scheduler(rinex, g0, select_ephemeris_set(rinex, g0), _xyz(),
+                      fs=FS)
+    seen = set()
+    for _ in range(20):  # 10 minutes of scenario time
+        sched.plan(300)
+        st = sched.state
+        active = np.flatnonzero(st.prn > 0)
+        seen.update(int(st.prn[c]) for c in active)
+        # invariant: allocated_sat maps sv -> channel and back
+        for sv in range(st.allocated_sat.size):
+            ch = int(st.allocated_sat[sv])
+            if ch >= 0:
+                assert int(st.prn[ch]) == sv + 1
+        for c in active:
+            assert int(st.allocated_sat[int(st.prn[c]) - 1]) == c
+    assert len(seen) >= 7  # constellation rotates through the sky
+
+
+def test_snapshot_restore_roundtrip(rinex):
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    s1 = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    a1 = s1.generate(4)
+    snap = s1.snapshot()
+    a2 = s1.generate(4)
+
+    s2 = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    s2.generate(4)  # advance to the same point
+    s2.restore(snap)
+    b2 = s2.generate(4)
+    assert np.array_equal(a2, b2)
+
+
+def test_motion_wraparound(fixture_paths, rinex):
+    """Motion index wraps at EOF like the reference (c:2802-2805)."""
+    from pluto_gps_sim_tpu.ingest import read_user_motion
+    xyz = read_user_motion(fixture_paths["motion"])
+    g0 = setup_scenario(rinex, None)
+    sched = Scheduler(rinex, g0, select_ephemeris_set(rinex, g0), xyz,
+                      fs=FS, static_mode=False)
+    n = xyz.shape[0]
+    assert sched._motion_index(0) == 0
+    assert sched._motion_index(1) == 0        # iumd increments at loop end
+    assert sched._motion_index(n) == n - 1
+    assert sched._motion_index(n + 1) == 0    # wrap
