@@ -38,6 +38,7 @@ from ..constants import (
 )
 from . import geodesy
 from ..types import Ephemerides, IonoUtc
+from ..utils.hostjax import cpu_jit
 
 __all__ = ["satpos", "ionospheric_delay", "compute_range", "check_visibility"]
 
@@ -161,6 +162,7 @@ def ionospheric_delay(ionoutc: IonoUtc, g_sec: jnp.ndarray, llh: jnp.ndarray,
     return jnp.where(ionoutc.enable, delay, 0.0)
 
 
+@cpu_jit
 def compute_range(eph: Ephemerides, ionoutc: IonoUtc, g_sec: jnp.ndarray,
                   xyz: jnp.ndarray):
     """Pseudorange/rate/az-el/iono at receiver ECEF `xyz` [3]
@@ -200,6 +202,7 @@ def compute_range(eph: Ephemerides, ionoutc: IonoUtc, g_sec: jnp.ndarray,
             "iono_delay": iono}
 
 
+@cpu_jit
 def check_visibility(eph: Ephemerides, g_sec: jnp.ndarray, xyz: jnp.ndarray,
                      elv_mask_deg: float = 0.0):
     """Visibility mask + az/el for all 32 SVs (plutogpssim.c:1896-1916).

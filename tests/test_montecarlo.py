@@ -1,0 +1,76 @@
+"""Monte-Carlo batch synthesis: batched == per-trajectory, and sharded
+== unsharded (BASELINE configs[4])."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pluto_gps_sim_tpu.constants import R2D
+from pluto_gps_sim_tpu.ingest import read_rinex2
+from pluto_gps_sim_tpu.models.geodesy import llh2xyz
+from pluto_gps_sim_tpu.parallel import MonteCarloBatch, make_mesh
+from pluto_gps_sim_tpu.runtime import select_ephemeris_set, setup_scenario
+from pluto_gps_sim_tpu.runtime.stream import IqStream
+
+FS = 1_000_000.0
+BS = 16_384  # small blocks (2 kernel tiles) keep interpret-mode fast
+
+
+@pytest.fixture(scope="module")
+def scenario(fixture_paths):
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    return rin, g0, ieph
+
+
+def _perturbed_receivers(b: int) -> np.ndarray:
+    """B receivers scattered ~km around Tokyo."""
+    rng = np.random.RandomState(5)
+    base = np.array([35.681298 / R2D, 139.766247 / R2D, 10.0])
+    out = []
+    for i in range(b):
+        llh = base + np.array([rng.uniform(-1e-4, 1e-4),
+                               rng.uniform(-1e-4, 1e-4),
+                               rng.uniform(0, 100)])
+        out.append(np.asarray(llh2xyz(llh)))
+    return np.stack(out)
+
+
+def test_mc_matches_individual_streams(scenario):
+    rin, g0, ieph = scenario
+    xyz = _perturbed_receivers(3)
+    mc = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    batch = mc.generate(n_blocks=4, interpret=True)
+    assert batch.shape == (3, 4, BS, 2)
+
+    for b in range(3):
+        solo = IqStream(rin, g0, ieph, xyz[b], fs=FS, block_samples=BS,
+                        mode="tiled").generate(4)
+        # pallas-interpret vs tiled XLA: not bit-identical paths, compare
+        # by SNR and near-total sample equality
+        ref = solo.astype(np.float64)
+        diff = ref - batch[b].astype(np.float64)
+        snr = 10 * np.log10(ref.var() / max(diff.var(), 1e-30))
+        exact = np.mean(solo == batch[b])
+        assert snr > 70.0 and exact > 0.995, (b, snr, exact)
+
+
+def test_mc_sharded_matches_unsharded(scenario):
+    import jax
+    rin, g0, ieph = scenario
+    xyz = _perturbed_receivers(4)
+    mc = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    a = mc.generate(n_blocks=2, interpret=True)
+
+    mc2 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    mesh = make_mesh(jax.devices("cpu")[:8])  # 4 time x 2 chan or similar
+    b = mc2.generate(n_blocks=2, mesh=mesh)
+    assert np.array_equal(a, b)
+
+
+def test_mc_rejects_bad_shapes(scenario):
+    rin, g0, ieph = scenario
+    with pytest.raises(ValueError):
+        MonteCarloBatch(rin, g0, ieph, np.zeros((2, 3, 3, 1)), fs=FS)
