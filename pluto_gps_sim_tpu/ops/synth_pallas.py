@@ -18,13 +18,21 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
   C/A chips bit-packed: 1023 chips -> 32 uint32 words in one 128-lane
             row; one lane-gather + variable shift replaces a table walk
             (c:2737)
-  mixing    per-block gain-scaled truncated LUTs (cos packed in the low
-            16 bits, sin in the high 16 of one int32 table) built once
-            into VMEM scratch; C's `(int)(dataBit*codeCA*table*gain)`
-            truncation is reproduced exactly as sign * trunc(table*gain)
-            (c:2701-2702)
-  output    (I & 0xffff) | (Q << 16) int32 — memory-identical to the
-            reference's interleaved little-endian int16 stream (c:2754)
+  mixing    per-block gain-scaled truncated LUTs built once into VMEM
+            scratch as BIASED packed pairs: entry(i) = (trunc(cos[i]*g)
+            + 512) | (trunc(sin[i]*g) + 512) << 16; both halves live in
+            [0, 1024], so one int32 accumulator carries the I sum (low
+            16) and Q sum (high 16) for all 12 channels without carries
+            (max 12*1024 < 2^16).  The spreading sign (chip XOR nav bit)
+            becomes one select between `entry` and `BIAS2 - entry`
+            (= both halves negated around the bias), replacing the
+            unpack/negate/two-accumulate sequence — C's
+            `(int)(dataBit*codeCA*table*gain)` truncation is still
+            reproduced exactly as sign * trunc(table*gain) (c:2701-2702)
+  output    per-tile epilogue un-biases with the in-kernel count of
+            executed channels, then packs (I & 0xffff) | (Q << 16) int32
+            — memory-identical to the reference's interleaved
+            little-endian int16 stream (c:2754)
 
 All per-(block,channel) parameters are packed into two [M, 8, 128] VMEM
 planes (int32 and float32), read back as scalars with static lane
@@ -53,8 +61,8 @@ from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
            "TILE_SAMPLES"]
 
-TILE_SAMPLES = 8192          # 64 sublanes x 128 lanes of int32
-_SUB = 64
+TILE_SAMPLES = 32768         # 256 sublanes x 128 lanes of int32
+_SUB = 256
 _LANES = 128
 _C = MAX_CHAN
 
@@ -78,18 +86,17 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
     def getf(col, c):
         return prmf_ref[0, 0, col + c]
 
-    # --- per-block setup: gain-scaled truncated +-LUTs into scratch ------
+    # --- per-block setup: biased gain-scaled truncated LUTs into scratch -
     @pl.when(t == 0)
     def _build_tables():
         for c in range(_C):
             g = getf(_F_GAIN, c)
             for r in range(4):
                 ct = (costab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32)               # trunc toward 0
+                      ).astype(jnp.int32) + jnp.int32(512)  # trunc, bias
                 st = (sintab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32)
-                lut_scr[c, r, :] = (ct & jnp.int32(0xFFFF)) | \
-                    jax.lax.shift_left(st, jnp.int32(16))
+                      ).astype(jnp.int32) + jnp.int32(512)
+                lut_scr[c, r, :] = ct | jax.lax.shift_left(st, jnp.int32(16))
 
     # --- per-sample index ramps ------------------------------------------
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
@@ -98,7 +105,13 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
     nf = n.astype(jnp.float32)
 
     acc_scr[0] = jnp.zeros((_SUB, _LANES), jnp.int32)
-    acc_scr[1] = jnp.zeros((_SUB, _LANES), jnp.int32)
+
+    # executed-channel count for the bias epilogue (scalar-unit ops);
+    # counting in-kernel keeps channel-sharded runs exact, where other
+    # shards' channels are masked to zero gain
+    nact = jnp.int32(0)
+    for c in range(_C):
+        nact += (getf(_F_GAIN, c) != 0.0).astype(jnp.int32)
 
     for c in range(_C):
       # inactive channels are zero-gain; skip their work entirely
@@ -131,8 +144,6 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
               wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
           cbit = jax.lax.shift_right_logical(
               word, cidx & jnp.int32(31)) & jnp.int32(1)
-          # combined spreading sign: chip XOR nav, as 0/-1 mask
-          sgn = -(cbit ^ nbit)
 
           # packed cos|sin LUT: 4-way select tree, one gather per row
           pk = jnp.zeros((_SUB, _LANES), jnp.int32)
@@ -140,21 +151,26 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
               prow = jnp.broadcast_to(lut_scr[c, r, :], (_SUB, _LANES))
               gp = jnp.take_along_axis(prow, ilo, axis=1)
               pk = jnp.where(ihi == r, gp, pk)
-          iv = jax.lax.shift_right_arithmetic(
-              jax.lax.shift_left(pk, jnp.int32(16)), jnp.int32(16))
-          qv = jax.lax.shift_right_arithmetic(pk, jnp.int32(16))
 
-          # conditional negate: (v ^ m) - m with m in {0,-1}
-          acc_scr[0] += (iv ^ sgn) - sgn
-          acc_scr[1] += (qv ^ sgn) - sgn
+          # spreading sign (chip XOR nav): both biased halves negate
+          # around the bias, BIAS2 - entry, with no cross-half borrow
+          # (halves are in [0, 1024]); mask-and form beats jnp.where
+          # on the VPU (no predicate registers needed)
+          m = -(cbit ^ nbit)
+          acc_scr[0] += pk + ((jnp.int32(1024 | (1024 << 16)) -
+                               jax.lax.shift_left(pk, jnp.int32(1))) & m)
 
+    # epilogue: un-bias both halves, emit I/Q
+    bias = nact * jnp.int32(512)
+    acc = acc_scr[0]
+    i_val = (acc & jnp.int32(0xFFFF)) - bias
+    q_val = jax.lax.shift_right_logical(acc, jnp.int32(16)) - bias
     if isinstance(out_ref, (tuple, list)):
-        out_ref[0][0, 0, :, :] = acc_scr[0]
-        out_ref[1][0, 0, :, :] = acc_scr[1]
+        out_ref[0][0, 0, :, :] = i_val
+        out_ref[1][0, 0, :, :] = q_val
     else:
-        packed = (acc_scr[0] & jnp.int32(0xFFFF)) | jax.lax.shift_left(
-            acc_scr[1], jnp.int32(16))
-        out_ref[0, 0, :, :] = packed
+        out_ref[0, 0, :, :] = (i_val & jnp.int32(0xFFFF)) | \
+            jax.lax.shift_left(q_val, jnp.int32(16))
 
 
 @functools.cache
@@ -183,7 +199,7 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
                          for _ in range(2))),
         scratch_shapes=[
             pltpu.VMEM((_C, 4, _LANES), jnp.int32),
-            pltpu.VMEM((2, _SUB, _LANES), jnp.int32),
+            pltpu.VMEM((1, _SUB, _LANES), jnp.int32),
         ],
     )
     one = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES), jnp.int32)
