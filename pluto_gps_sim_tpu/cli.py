@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a resume checkpoint here on exit")
     p.add_argument("--resume", metavar="FILE",
                    help="resume from a checkpoint written by --snapshot")
+    p.add_argument("--stats", action="store_true",
+                   help="print JSON stream stats (samples, rate, CRC32)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a JAX profiler trace of the run into DIR")
     return p
 
 
@@ -254,6 +258,15 @@ def main(argv: list[str] | None = None) -> int:
                      udp_port=args.udp_port, bw_hz=bw_hz, gain_db=gain_db,
                      uri=args.uri, hostname=args.hostname,
                      block_samples=stream.sched.block_samples)
+    if args.stats:
+        from .runtime.sinks import StatsSink
+        sink = StatsSink(sink)
+
+    profiler_ctx = None
+    if args.profile:
+        import jax
+        profiler_ctx = jax.profiler.trace(args.profile)
+        profiler_ctx.__enter__()
 
     stop = {"flag": False}
 
@@ -296,6 +309,10 @@ def main(argv: list[str] | None = None) -> int:
             print(file=sys.stderr)
     finally:
         sink.close()
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
+            print(f"Profiler trace written to {args.profile}",
+                  file=sys.stderr)
         for s, h in old_handlers.items():
             signal.signal(s, h)
         if args.snapshot:

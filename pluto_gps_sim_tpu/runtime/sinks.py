@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 __all__ = ["open_sink", "FileSink", "FdSink", "UdpSink", "NullSink",
-           "IioSink", "RealtimeSink"]
+           "IioSink", "RealtimeSink", "StatsSink"]
 
 
 def _as_bytes(block: np.ndarray) -> np.ndarray:
@@ -213,6 +213,49 @@ class RealtimeSink:
         if self._close_fd and self._fd >= 0:
             os.close(self._fd)
             self._fd = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StatsSink:
+    """Observability wrapper: counts samples, tracks throughput and a
+    running CRC32 of the stream (per-block checksums chained), so two
+    runs can be compared without storing the IQ.  The reference has no
+    metrics at all (stderr printfs only, SURVEY.md section 5)."""
+
+    def __init__(self, inner):
+        import time
+        import zlib
+        self._inner = inner
+        self._crc32 = zlib.crc32
+        self._t0 = time.time()
+        self._time = time.time
+        self.writes = 0
+        self.samples = 0
+        self.crc = 0
+
+    def write(self, block: np.ndarray) -> None:
+        data = _as_bytes(block)
+        self._inner.write(data)
+        self.writes += 1
+        self.samples += data.size // 2
+        self.crc = self._crc32(data.tobytes(), self.crc)
+
+    def stats(self) -> dict:
+        el = max(self._time() - self._t0, 1e-9)
+        out = {"writes": self.writes, "samples": self.samples,
+               "crc32": f"{self.crc:08x}",
+               "samples_per_sec": round(self.samples / el, 1)}
+        if hasattr(self._inner, "stats"):
+            out["transport"] = self._inner.stats()
+        return out
+
+    def close(self) -> None:
+        self._inner.close()
 
     def __enter__(self):
         return self

@@ -1,0 +1,111 @@
+"""Long-duration soak tests (BASELINE configs[3]) — gated behind
+RUN_SOAK=1 because they run minutes, not seconds:
+
+    RUN_SOAK=1 python -m pytest tests/test_soak.py -q -s
+
+1. 80+ s golden A/B against the reference oracle across a 30 s nav
+   refresh AND an ephemeris-set rollover (TOC advances to set 1 mid-run).
+2. A full simulated hour of continuous streaming: rollover, rise/set
+   churn, finite output, and seamless snapshot/resume splicing at an
+   arbitrary point.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from ref_harness import harness
+
+from pluto_gps_sim_tpu.constants import R2D
+from pluto_gps_sim_tpu.ingest import read_rinex2
+from pluto_gps_sim_tpu.models.geodesy import llh2xyz
+from pluto_gps_sim_tpu.models.gpstime import GpsTime, inc_gps_time
+from pluto_gps_sim_tpu.runtime import select_ephemeris_set, setup_scenario
+from pluto_gps_sim_tpu.runtime.stream import IqStream
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_SOAK") != "1",
+    reason="soak tests run minutes; enable with RUN_SOAK=1")
+
+TOKYO = np.array([35.681298 / R2D, 139.766247 / R2D, 10.0])
+
+
+def test_soak_rollover_vs_oracle(oracle_exe, tmp_path, fixture_paths):
+    """A/B through a 30 s boundary and an ephemeris-set rollover."""
+    rin = read_rinex2(fixture_paths["rinex2"])
+    toc0 = GpsTime(int(rin.eph[0].toc_week[0]), float(rin.eph[0].toc_sec[0]))
+    g0 = inc_gps_time(toc0, 3540.0)  # rollover hits ~60-90 s into the run
+    n_blocks = 900  # 90 s at 0.1 s blocks
+
+    cap = str(tmp_path / "roll.bin")
+    t = g0
+    from pluto_gps_sim_tpu.models.gpstime import gps2date
+    d = gps2date(t)
+    targ = f"{d.y}/{d.m:02d}/{d.d:02d},{d.hh:02d}:{d.mm:02d}:{int(d.sec):02d}"
+    harness.run_oracle(oracle_exe, fixture_paths["rinex2"], cap, n_blocks,
+                       extra_args=["-l", "35.681298,139.766247,10.0",
+                                   "-t", targ],
+                       push_sleep_ms=1, timeout=1200.0)
+    ref = harness.load_capture(cap)
+    assert ref.shape[0] >= n_blocks - 2
+
+    g0v = setup_scenario(rin, g0)
+    ieph = select_ephemeris_set(rin, g0v)
+    stream = IqStream(rin, g0v, ieph, np.asarray(llh2xyz(TOKYO)),
+                      fs=3_000_000.0, mode="tiled")
+    ours = stream.generate(ref.shape[0])
+    assert stream.sched.ieph == 1, "run did not cross the rollover"
+
+    r = ref.astype(np.float64).reshape(-1)
+    d_ = r - ours.astype(np.float64).reshape(-1)
+    snr = 10 * np.log10(np.mean(r**2) / max(np.mean(d_**2), 1e-30))
+    exact = float(np.mean(ref == ours))
+    print(f"rollover soak: SNR {snr:.1f} dB, bit-exact {exact:.4%}, "
+          f"{ref.shape[0]} blocks")
+    assert snr >= 55.0 and exact >= 0.99
+
+
+def test_soak_one_hour_stream(fixture_paths):
+    """3700 simulated seconds: rollover + rise/set churn + resume splice."""
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO))
+    # small device blocks: the soak exercises the control plane, not
+    # throughput (bench.py owns that)
+    stream = IqStream(rin, g0, ieph, xyz, fs=1_000_000.0,
+                      block_samples=16384, mode="tiled")
+
+    n_blocks = 37_000  # 3700 s
+    half = n_blocks // 2
+    seen_prn = set()
+    out_stats = []
+    snap = None
+    done = 0
+    for sf in stream.superframes(n_blocks):
+        assert np.isfinite(sf).all() if sf.dtype.kind == "f" else True
+        out_stats.append((int(sf.std()), sf.shape[0]))
+        done += sf.shape[0]
+        seen_prn.update(int(p) for p in stream.sched.state.prn if p > 0)
+        if snap is None and done >= half:
+            snap = stream.snapshot()
+            tail_a = []
+        if snap is not None:
+            tail_a.append(sf)
+    assert done == n_blocks
+    assert stream.sched.ieph == 1, "no ephemeris rollover in an hour"
+    assert len(seen_prn) >= 8, f"little rise/set churn: {seen_prn}"
+    assert all(s > 0 for s, _ in out_stats), "silent (all-zero) superframe"
+
+    # resume from the mid-run snapshot and splice
+    stream2 = IqStream(rin, g0, ieph, xyz, fs=1_000_000.0,
+                       block_samples=16384, mode="tiled")
+    stream2.restore(snap)
+    b = stream2.generate(1)
+    a = np.concatenate(tail_a, axis=0)[:1]
+    assert np.array_equal(a, b), "resume splice mismatch"
+    print(f"1-hour soak: {done} blocks, PRNs seen {sorted(seen_prn)}, "
+          f"rollover ok, resume splice ok")
