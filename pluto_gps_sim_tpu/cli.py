@@ -280,6 +280,13 @@ def main(argv: list[str] | None = None) -> int:
             old_handlers[s] = signal.signal(s, _handle)
         except ValueError:
             pass  # non-main thread (tests)
+    try:
+        # make a closed consumer raise BrokenPipeError instead of killing
+        # the process (the runtime stack resets CPython's SIG_IGN default)
+        old_handlers[signal.SIGPIPE] = signal.signal(signal.SIGPIPE,
+                                                     signal.SIG_IGN)
+    except (ValueError, AttributeError):
+        pass
 
     n_blocks_total = (int(round(args.duration * 10))
                       if args.duration > 0 else None)
@@ -293,7 +300,16 @@ def main(argv: list[str] | None = None) -> int:
                 break
             plan_blocks = 0
             for sf in stream.superframes(todo):
-                sink.write(sf)
+                try:
+                    sink.write(sf)
+                except (BrokenPipeError, IOError) as e:
+                    # consumer went away (pipe closed, SDR unplugged,
+                    # ring-writer I/O error): stop cleanly, like the
+                    # reference's TX-failure exit flag (c:2182)
+                    print(f"\nOutput closed ({e}); stopping.",
+                          file=sys.stderr)
+                    stop["flag"] = True
+                    break
                 plan_blocks += sf.shape[0]
                 if stop["flag"]:
                     break

@@ -48,7 +48,10 @@ class FdSink:
 
     def write(self, block: np.ndarray) -> None:
         data = _as_bytes(block).tobytes()
-        os.write(self.fd, data)
+        view = memoryview(data)
+        while view:  # os.write may partial-write on pipes/sockets
+            n = os.write(self.fd, view)
+            view = view[n:]
         self.bytes_written += len(data)
 
     def close(self) -> None:

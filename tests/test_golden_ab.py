@@ -139,6 +139,52 @@ def test_golden_fs5mhz_ref_compat(oracle_exe, tmp_path, fixture_paths):
     print(f"fs=5MHz/ref-compat: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
 
 
+def test_golden_ecef_and_start_time(oracle_exe, tmp_path, fixture_paths):
+    """-c (ECEF static) + -t (validated start time) paths vs oracle."""
+    from pluto_gps_sim_tpu.models.gpstime import GpsTime
+    # Tokyo ECEF, start 30 s into the file's validity
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+    ecef = f"{xyz[0]:.3f},{xyz[1]:.3f},{xyz[2]:.3f}"
+    ref_blocks, _ = _run_scenario(
+        oracle_exe, tmp_path, fixture_paths["rinex2"],
+        ["-c", ecef, "-t", "2023/01/10,00:00:30"])
+
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, GpsTime(2244, 172830.0))
+    ieph = select_ephemeris_set(rin, g0)
+    # -c parses with %lf -> same doubles as our %.3f round-trip
+    xyz_c = np.array([float(v) for v in ecef.split(",")])
+    stream = IqStream(rin, g0, ieph, xyz_c, fs=FS, mode="precise")
+    ours = stream.generate(ref_blocks.shape[0])
+    snr, exact = _compare(ref_blocks, ours)
+    print(f"-c/-t: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+
+
+def test_golden_time_overwrite(oracle_exe, tmp_path, fixture_paths):
+    """-T: TOC/TOE overwritten to the (7200 s aligned) scenario start;
+    exercises the ephemeris-shift branch (c:2521-2553).
+
+    Reference quirk: its -T handler only parses the literal "now"
+    (c:2331-2349) — a date passed to -T is silently ignored, so the
+    overwrite branch needs -t <date> PLUS -T <anything>.  Our CLI
+    accepts the date directly on -T (what the usage text advertises)."""
+    from pluto_gps_sim_tpu.models.gpstime import GpsTime, date2gps, DateTime
+    targ = "2023/03/05,04:00:00"
+    ref_blocks, _ = _run_scenario(
+        oracle_exe, tmp_path, fixture_paths["rinex2"],
+        ["-l", "35.681298,139.766247,10.0", "-t", targ, "-T", "x"])
+
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = date2gps(DateTime(2023, 3, 5, 4, 0, 0.0))
+    g0 = setup_scenario(rin, g0, timeoverwrite=True)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+    stream = IqStream(rin, g0, ieph, xyz, fs=FS, mode="precise")
+    ours = stream.generate(ref_blocks.shape[0])
+    snr, exact = _compare(ref_blocks, ours)
+    print(f"-T overwrite: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+
+
 def test_tiled_matches_precise(fixture_paths):
     """The TPU-tiled XLA path tracks the f64 golden path within its own
     (tighter) tolerance — one A/B inside the framework, no oracle needed."""

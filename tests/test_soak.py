@@ -37,20 +37,26 @@ def test_soak_rollover_vs_oracle(oracle_exe, tmp_path, fixture_paths):
     """A/B through a 30 s boundary and an ephemeris-set rollover."""
     rin = read_rinex2(fixture_paths["rinex2"])
     toc0 = GpsTime(int(rin.eph[0].toc_week[0]), float(rin.eph[0].toc_sec[0]))
-    g0 = inc_gps_time(toc0, 3540.0)  # rollover hits ~60-90 s into the run
-    n_blocks = 900  # 90 s at 0.1 s blocks
+    g0 = inc_gps_time(toc0, 3540.0)  # rollover at +90 s (boundary 3630:
+    # dt to set-1 toc falls below 3600 there)
+    n_blocks = 990  # 99 s: blocks 900.. are synthesized from set 1
 
     cap = str(tmp_path / "roll.bin")
     t = g0
     from pluto_gps_sim_tpu.models.gpstime import gps2date
     d = gps2date(t)
     targ = f"{d.y}/{d.m:02d}/{d.d:02d},{d.hh:02d}:{d.mm:02d}:{int(d.sec):02d}"
-    harness.run_oracle(oracle_exe, fixture_paths["rinex2"], cap, n_blocks,
+    # pacing must exceed the oracle's ~30-50 ms/buffer generation time or
+    # the TX thread re-pushes stale buffers (stripped as duplicates by
+    # load_capture); 60 ms + headroom keeps every push unique
+    harness.run_oracle(oracle_exe, fixture_paths["rinex2"], cap,
+                       n_blocks + 60,
                        extra_args=["-l", "35.681298,139.766247,10.0",
                                    "-t", targ],
-                       push_sleep_ms=1, timeout=1200.0)
+                       push_sleep_ms=60, timeout=1200.0)
     ref = harness.load_capture(cap)
-    assert ref.shape[0] >= n_blocks - 2
+    assert ref.shape[0] >= n_blocks, f"oracle gave {ref.shape[0]} blocks"
+    ref = ref[:n_blocks]
 
     g0v = setup_scenario(rin, g0)
     ieph = select_ephemeris_set(rin, g0v)
@@ -91,10 +97,10 @@ def test_soak_one_hour_stream(fixture_paths):
         done += sf.shape[0]
         seen_prn.update(int(p) for p in stream.sched.state.prn if p > 0)
         if snap is None and done >= half:
-            snap = stream.snapshot()
+            snap = stream.snapshot()   # state AFTER this superframe
             tail_a = []
-        if snap is not None:
-            tail_a.append(sf)
+        elif snap is not None:
+            tail_a.append(sf)          # superframes generated post-snapshot
     assert done == n_blocks
     assert stream.sched.ieph == 1, "no ephemeris rollover in an hour"
     assert len(seen_prn) >= 8, f"little rise/set churn: {seen_prn}"
