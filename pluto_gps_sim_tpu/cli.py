@@ -118,8 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="signal duration in seconds (0 = endless)")
     p.add_argument("--realtime", action="store_true",
                    help="pace output to fs via the native ring writer")
-    p.add_argument("--mode", choices=["tiled", "precise"], default="tiled",
-                   help="synthesis path (tiled = TPU/XLA, precise = f64)")
+    p.add_argument("--mode", choices=["pallas", "tiled", "precise"],
+                   default="tiled",
+                   help="synthesis path (pallas = fused TPU kernel, "
+                   "tiled = XLA, precise = f64 golden)")
     p.add_argument("--udp-host", default="127.0.0.1")
     p.add_argument("--udp-port", type=int, default=5015)
     p.add_argument("--snapshot", metavar="FILE",

@@ -34,7 +34,6 @@ from ..constants import (
     PATH_LOSS_NUMERATOR,
     R2D,
     SPEED_OF_LIGHT,
-    LAMBDA_L1 as _LAMBDA,
 )
 from ..models import orbits
 from ..models.tables import ant_pat_linear

@@ -20,7 +20,6 @@ from ..models.gpstime import GpsTime
 from ..ingest.rinex import RinexResult
 from ..ops.synth_jnp import (
     DevicePlan,
-    make_synth_tiled,
     pack_plan,
     synth_superframe_precise,
     synth_superframe_tiled,
@@ -37,15 +36,17 @@ class IqStream:
                  xyz: np.ndarray, fs: float,
                  block_samples: int | None = None,
                  static_mode: bool = True,
-                 mode: str = "tiled", device=None):
+                 mode: str = "tiled", device=None, mesh=None):
         self.sched = Scheduler(rin, start, ieph, xyz, fs,
                                block_samples=block_samples,
                                static_mode=static_mode)
-        if mode not in ("tiled", "precise"):
+        if mode not in ("tiled", "precise", "pallas"):
             raise ValueError(f"unknown synthesis mode {mode!r}")
+        if mesh is not None and mode != "pallas":
+            raise ValueError("mesh sharding requires mode='pallas'")
         self.mode = mode
         self.device = device
-        self._fns = {}  # (M, N, nt) -> jitted synthesizer
+        self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
 
     def superframes(self, n_blocks_total: int,
                     max_blocks: int = 300) -> Iterator[np.ndarray]:
@@ -67,7 +68,47 @@ class IqStream:
     def _synth(self, dp: DevicePlan) -> np.ndarray:
         if self.mode == "precise":
             return synth_superframe_precise(dp)
+        if self.mode == "pallas":
+            return self._synth_pallas(dp)
         return synth_superframe_tiled(dp, device=self.device)
+
+    def _synth_pallas(self, dp: DevicePlan) -> np.ndarray:
+        """The fused TPU kernel — single device, or sharded over a
+        ("time", "chan") mesh with the channel psum riding ICI."""
+        import jax
+
+        from ..ops import synth_pallas as sp
+
+        prmi, prmf = sp.build_block_params(dp)
+        ca_tabs = sp.pack_ca_tables([dp.ca2])
+        sf_map = np.zeros(dp.n_blocks, np.int32)
+        if self.mesh is not None:
+            from ..parallel import shard_channel_params, synth_sharded
+            n_time = self.mesh.shape["time"]
+            pad = (-dp.n_blocks) % n_time   # time shards need equal blocks
+            if pad:
+                prmi = np.concatenate([prmi, np.zeros_like(prmi[:pad])])
+                prmf = np.concatenate([prmf, np.zeros_like(prmf[:pad])])
+                sf_map = np.concatenate([sf_map, np.zeros(pad, np.int32)])
+            prmf_sh = shard_channel_params(prmf, self.mesh.shape["chan"])
+            packed = np.asarray(synth_sharded(
+                self.mesh, prmi, prmf_sh, ca_tabs, sf_map,
+                dp.block_samples))[:dp.n_blocks]
+        else:
+            device = self.device
+            interpret = False
+            if device is None:
+                tpus = [d for d in jax.devices() if d.platform == "tpu"]
+                device = tpus[0] if tpus else None
+                interpret = not tpus
+            packed = np.asarray(sp.synth_blocks_pallas(
+                (prmi, prmf), ca_tabs, sf_map, dp.block_samples,
+                device=device, interpret=interpret))
+        n = dp.block_samples
+        iq = packed[:, :n].reshape(dp.n_blocks, n)
+        return np.stack(
+            [(iq & 0xFFFF).astype(np.uint16).view(np.int16),
+             (iq >> 16).astype(np.int16)], axis=-1)
 
     # -- snapshot / resume ---------------------------------------------------
 

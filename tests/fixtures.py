@@ -74,6 +74,36 @@ def _date2gps(y, m, d, hh, mm, sec):
     return de // 7, float(de % 7) * 86400.0 + hh * 3600.0 + mm * 60.0 + sec
 
 
+GM_EARTH = 3.986005e14
+
+
+def propagate_set(s: dict, dt: float) -> dict:
+    """Advance orbital elements by dt seconds so consecutive ephemeris
+    sets describe a CONTINUOUS orbit (like real broadcast uploads).
+
+    Without this the satellite 'teleports' at a set handover; the
+    resulting ~MHz Doppler step sends the reference simulator's carrier
+    phase out of its LUT range and segfaults it (plutogpssim.c:2701 has
+    no index clamp)."""
+    if dt == 0.0:
+        return dict(s)
+    a = s["sqrta"] ** 2
+    n = math.sqrt(GM_EARTH / a**3) + s["deltan"]
+    two_pi = 2.0 * math.pi
+
+    def wrap(x):
+        return (x + math.pi) % two_pi - math.pi
+
+    out = dict(s)
+    out["m0"] = wrap(s["m0"] + n * dt)
+    out["omg0"] = wrap(s["omg0"] + s["omgdot"] * dt)
+    out["inc0"] = s["inc0"] + s["idot"] * dt
+    out["af0"] = s["af0"] + s["af1"] * dt + s["af2"] * dt * dt
+    out["iode"] = s["iode"] + 1
+    out["iodc"] = s["iodc"] + 1
+    return out
+
+
 def write_rinex2(path: str, n_sets: int = 2, n_sat: int = 24,
                  set_gap_hours: float = 2.0) -> None:
     sats = constellation(n_sat)
@@ -100,7 +130,8 @@ def write_rinex2(path: str, n_sets: int = 2, n_sat: int = 24,
     yy = T0["y"] % 100
     for iset in range(n_sets):
         hh = T0["hh"] + int(iset * set_gap_hours)
-        for s in sats:
+        for s0 in sats:
+            s = propagate_set(s0, iset * set_gap_hours * 3600.0)
             toc_sec = tow0 + iset * set_gap_hours * 3600.0
             ep = (f"{s['prn']:2d} {yy:02d} {T0['m']:2d} {T0['d']:2d} "
                   f"{hh:2d} {T0['mm']:2d} {T0['sec']:4.1f}"
@@ -148,7 +179,8 @@ def write_rinex3(path: str, n_sets: int = 2, n_sat: int = 24,
 
     for iset in range(n_sets):
         hh = T0["hh"] + int(iset * set_gap_hours)
-        for s in sats:
+        for s0 in sats:
+            s = propagate_set(s0, iset * set_gap_hours * 3600.0)
             toc_sec = tow0 + iset * set_gap_hours * 3600.0
             ep = (f"G{s['prn']:02d} {T0['y']:4d} {T0['m']:02d} {T0['d']:02d} "
                   f"{hh:02d} {T0['mm']:02d} {int(T0['sec']):02d}"

@@ -140,3 +140,20 @@ def test_motion_wraparound(fixture_paths, rinex):
     assert sched._motion_index(1) == 0        # iumd increments at loop end
     assert sched._motion_index(n) == n - 1
     assert sched._motion_index(n + 1) == 0    # wrap
+
+
+def test_stream_mesh_sharded_matches_single(rinex):
+    """IqStream(mesh=...) — full production stream over a (time, chan)
+    mesh — equals the single-device pallas stream bit-for-bit."""
+    import jax
+    from pluto_gps_sim_tpu.parallel import make_mesh
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    a = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=32768,
+                 mode="pallas").generate(3)
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    # 3 blocks over 2 time shards also exercises the pad-to-shards path
+    b = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=32768,
+                 mode="pallas", mesh=mesh).generate(3)
+    assert np.array_equal(a, b)
