@@ -59,7 +59,13 @@ from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
-           "TILE_SAMPLES"]
+           "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
+
+# Q24 code-NCO range bound: the per-sample integer residual ramp r24*n
+# (r24 <= 4095) must stay inside int32, so blocks are capped at 524k
+# samples — fs <= 5.24 MHz at 0.1 s blocks (the reference's RF path also
+# caps at 5 MHz, c:2372-2375)
+MAX_BLOCK_SAMPLES = 524_000
 
 TILE_SAMPLES = 32768         # 256 sublanes x 128 lanes of int32
 _SUB = 256
@@ -211,7 +217,7 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
 def build_block_params(dp):
     """ops.synth_jnp.DevicePlan -> packed ([M,8,128] i32, [M,8,128] f32)."""
     # Q24 residual ramp bound: r24*n must stay inside int32
-    assert dp.block_samples <= 524_000, \
+    assert dp.block_samples <= MAX_BLOCK_SAMPLES, \
         "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
     M, C = dp.active.shape
     act = dp.active

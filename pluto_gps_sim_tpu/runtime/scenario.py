@@ -87,7 +87,9 @@ def setup_scenario(rin: RinexResult, g0: GpsTime | None,
 
 
 def select_ephemeris_set(rin: RinexResult, g0: GpsTime) -> int:
-    """First set with |g0 - toc| < 1 h for any valid SV (c:2576-2597)."""
+    """First set where ANY valid SV has |g0 - toc| < 1 h (c:2576-2597;
+    the reference's inner loop scans all 32 SVs, breaking only on a
+    match)."""
     for iset in range(rin.n_sets):
         eph = rin.eph[iset]
         for sv in range(MAX_SAT):
@@ -96,7 +98,6 @@ def select_ephemeris_set(rin: RinexResult, g0: GpsTime) -> int:
                                               float(eph.toc_sec[sv])))
                 if -SECONDS_IN_HOUR <= dt < SECONDS_IN_HOUR:
                     return iset
-                break  # reference checks only the first valid SV per set
     raise ScenarioError("no current set of ephemerides found")
 
 

@@ -44,6 +44,21 @@ class IqStream:
             raise ValueError(f"unknown synthesis mode {mode!r}")
         if mesh is not None and mode != "pallas":
             raise ValueError("mesh sharding requires mode='pallas'")
+        if mode == "pallas":
+            from ..ops.synth_pallas import MAX_BLOCK_SAMPLES
+            if self.sched.block_samples > MAX_BLOCK_SAMPLES:
+                if mesh is not None:
+                    raise ValueError(
+                        f"block_samples={self.sched.block_samples} exceeds "
+                        f"the fused kernel's Q24 range "
+                        f"({MAX_BLOCK_SAMPLES}; fs <= 5.24 MHz at 0.1 s "
+                        f"blocks) and mesh sharding has no tiled fallback")
+                import warnings
+                warnings.warn(
+                    f"block_samples={self.sched.block_samples} exceeds the "
+                    f"fused kernel's Q24 range ({MAX_BLOCK_SAMPLES}); "
+                    f"using the tiled XLA path", stacklevel=2)
+                mode = "tiled"
         self.mode = mode
         self.device = device
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
@@ -78,6 +93,7 @@ class IqStream:
         import jax
 
         from ..ops import synth_pallas as sp
+
 
         prmi, prmf = sp.build_block_params(dp)
         ca_tabs = sp.pack_ca_tables([dp.ca2])
