@@ -100,13 +100,16 @@ def _parse_header_v2(lines: list[str], ionoutc: IonoUtc) -> tuple[int, str]:
     flags = 0
     rinex_date = ""
     idx = 0
+    saw_version = saw_end = False
     for idx, line in enumerate(lines):
         tag = line[60:]
         if tag.startswith("COMMENT"):
             continue
         if tag.startswith("END OF HEADER"):
+            saw_end = True
             break
         if tag.startswith("RINEX VERSION / TYPE"):
+            saw_version = True
             ver = _fortran_float(line[0:9])
             if ver > 3.0:
                 raise RinexError("not a RINEX v2 file")
@@ -136,6 +139,9 @@ def _parse_header_v2(lines: list[str], ionoutc: IonoUtc) -> tuple[int, str]:
         elif tag.startswith("LEAP SECONDS"):
             ionoutc.dtls = np.array(_atoi(line[0:6]), np.int32)
             flags |= 0x8
+    if not (saw_version and saw_end):
+        raise RinexError("not a RINEX v2 file (missing version line or "
+                         "END OF HEADER)")
     return flags, rinex_date, idx + 1
 
 
@@ -143,13 +149,16 @@ def _parse_header_v3(lines: list[str], ionoutc: IonoUtc) -> tuple[int, str]:
     flags = 0
     rinex_date = ""
     idx = 0
+    saw_version = saw_end = False
     for idx, line in enumerate(lines):
         tag = line[60:]
         if tag.startswith("COMMENT"):
             continue
         if tag.startswith("END OF HEADER"):
+            saw_end = True
             break
         if tag.startswith("RINEX VERSION / TYPE"):
+            saw_version = True
             ver = _fortran_float(line[0:9])
             if ver < 3.0:
                 raise RinexError("not a RINEX v3 file")
@@ -182,6 +191,9 @@ def _parse_header_v3(lines: list[str], ionoutc: IonoUtc) -> tuple[int, str]:
         elif tag.startswith("LEAP SECONDS"):
             ionoutc.dtls = np.array(_atoi(line[0:6]), np.int32)
             flags |= 0x8
+    if not (saw_version and saw_end):
+        raise RinexError("not a RINEX v3 file (missing version line or "
+                         "END OF HEADER)")
     return flags, rinex_date, idx + 1
 
 

@@ -118,6 +118,38 @@ def test_wrong_version_rejected(fixture_paths):
         read_rinex3(fixture_paths["rinex2"])
 
 
+def test_malformed_files_rejected(tmp_path, fixture_paths):
+    garbage = str(tmp_path / "garbage.23n")
+    with open(garbage, "w") as fp:
+        fp.write("hello world\nnot rinex at all\n")
+    with pytest.raises(RinexError):
+        read_rinex2(garbage)
+    with pytest.raises(RinexError):
+        read_rinex3(garbage)
+
+    # header without END OF HEADER
+    with open(fixture_paths["rinex2"]) as fp:
+        lines = fp.read().splitlines(keepends=True)
+    noend = str(tmp_path / "noend.23n")
+    with open(noend, "w") as fp:
+        fp.writelines(l for l in lines if "END OF HEADER" not in l)
+    with pytest.raises(RinexError):
+        read_rinex2(noend)
+
+
+def test_truncated_record_drops_partial(tmp_path, fixture_paths):
+    """A file cut mid-record keeps all complete records and silently
+    drops the partial one (reference: gzgets NULL -> break, c:1078)."""
+    with open(fixture_paths["rinex2"]) as fp:
+        lines = fp.read().splitlines(keepends=True)
+    # header (7 lines) + 2 complete records (8 lines each) + half a record
+    out = str(tmp_path / "trunc.23n")
+    with open(out, "w") as fp:
+        fp.writelines(lines[:7 + 16 + 4])
+    rin = read_rinex2(out)
+    assert int(rin.eph[0].vflg.sum()) == 2
+
+
 def test_v3_non_gps_records_skipped(fixture_paths, tmp_path):
     """RINEX v3 parsers must ignore non-'G' constellation records
     (c:1381)."""
