@@ -78,6 +78,12 @@ _P_PHASE0, _P_STEP, _P_CP0Q, _P_VQ, _P_NBM, _P_IC0 = 0, 12, 24, 36, 48, 60
 _P_RES0Q24, _P_R24 = 72, 84
 _F_STEPRES, _F_RR, _F_GAIN = 0, 12, 24
 
+# 1/1023 rounded UP in f32: trunc(chip * _INV1023) == chip // 1023 exactly
+# for 0 <= chip < 600_000 (verified exhaustively; max chip under
+# MAX_BLOCK_SAMPLES is ~537k)
+_INV1023 = np.float32(np.nextafter(np.float32(1.0 / 1023.0),
+                                   np.float32(np.inf)))
+
 
 def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
             sintab_ref, *out_and_scratch):
@@ -126,7 +132,8 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
           # carrier NCO: u32 ramp + f32 step-quantization residual
           resc = (getf(_F_STEPRES, c) * nf).astype(jnp.int32)
           phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
-          itab = jax.lax.shift_right_logical(phase, jnp.int32(23)) & jnp.int32(511)
+          # logical shift of the u32 phase leaves exactly 9 index bits
+          itab = jax.lax.shift_right_logical(phase, jnp.int32(23))
           ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
           ilo = itab & jnp.int32(127)
 
@@ -136,11 +143,17 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
           tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
               + jax.lax.shift_right_logical(rq24, jnp.int32(12))
           chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
-          w = chip // jnp.int32(CA_SEQ_LEN)
+          # chip // 1023 via exact f32 reciprocal (chip < 600k, verified
+          # exhaustively; XLA's int32 // lowers to a much longer
+          # multiply-high sequence, ~14% of total kernel time)
+          w = (chip.astype(jnp.float32) * _INV1023).astype(jnp.int32)
           cidx = chip - w * jnp.int32(CA_SEQ_LEN)
 
-          # nav bit from per-block mask (0/1)
-          q = ((geti(_P_IC0, c) + w) // jnp.int32(20)) & jnp.int32(31)
+          # nav bit from per-block mask (0/1); // 20 via magic multiply
+          # (exact for u < 4096; q <= 28 given the block-length cap, so
+          # no & 31 needed)
+          q = jax.lax.shift_right_logical(
+              (geti(_P_IC0, c) + w) * jnp.int32(3277), jnp.int32(16))
           mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
           nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
 
@@ -219,6 +232,9 @@ def build_block_params(dp):
     # Q24 residual ramp bound: r24*n must stay inside int32
     assert dp.block_samples <= MAX_BLOCK_SAMPLES, \
         "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
+    # in-kernel f32 reciprocal division is exact for chip < 600k
+    assert float(np.max(np.abs(dp.v))) <= 1.1, \
+        "code rate out of range for the kernel's chip arithmetic"
     M, C = dp.active.shape
     act = dp.active
     c0 = np.where(act, dp.c0, 0.0)
