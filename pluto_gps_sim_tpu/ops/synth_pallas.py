@@ -67,8 +67,8 @@ __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
 # caps at 5 MHz, c:2372-2375)
 MAX_BLOCK_SAMPLES = 524_000
 
-TILE_SAMPLES = 32768         # 256 sublanes x 128 lanes of int32
-_SUB = 256
+TILE_SAMPLES = 65536         # 512 sublanes x 128 lanes of int32
+_SUB = 512
 _LANES = 128
 _C = MAX_CHAN
 
