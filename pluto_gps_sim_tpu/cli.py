@@ -197,8 +197,13 @@ def main(argv: list[str] | None = None) -> int:
     navfile = args.navfile
     if args.use_ftp:
         from .ingest.fetch import fetch_rinex
-        navfile = fetch_rinex(use_rinex3=args.rinex3)
-        print(f"Fetched {navfile}", file=sys.stderr)
+        navfile = "rinex3.gz" if args.rinex3 else "rinex2.gz"  # c:33-34
+        try:
+            url = fetch_rinex(navfile, use_rinex3=args.rinex3)
+        except OSError as e:
+            print(f"Curl error: {e}", file=sys.stderr)  # c:2471-2474
+            return 1
+        print(f"Fetched {url} -> {navfile}", file=sys.stderr)
     from .ingest.rinex import RinexError
     try:
         rin = (read_rinex3 if args.rinex3 else read_rinex2)(navfile)
@@ -224,8 +229,19 @@ def main(argv: list[str] | None = None) -> int:
     # --- scenario time ------------------------------------------------------
     g0 = None
     if args.overwrite:
-        g0 = (date2gps(_now_utc()) if args.overwrite.startswith("now")
-              else _parse_time(args.overwrite))
+        # -T now: current time; -T <date>: parse it; -T with any other
+        # token (the reference idiom "-t <date> -T x", where -T only
+        # flags the overwrite): take the time from -t
+        if args.overwrite.startswith("now"):
+            g0 = date2gps(_now_utc())
+        elif "/" in args.overwrite:
+            g0 = _parse_time(args.overwrite)
+        elif args.start:
+            g0 = _parse_time(args.start)
+        else:
+            print("ERROR: -T needs 'now', a date, or a -t start time.",
+                  file=sys.stderr)
+            return 1
     elif args.start:
         g0 = _parse_time(args.start)
     try:

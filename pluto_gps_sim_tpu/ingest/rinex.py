@@ -285,7 +285,11 @@ def _read_rinex(fname: str, version: int) -> RinexResult:
             getattr(e, name)[sv] = int(val) if name in _INT_FIELDS else val
         _finalize_sv(e, sv)
 
-    n_sets = ieph + 1 if g0 is not None else 0
+    # ieph may equal EPHEM_ARRAY_SIZE when the file holds more groups
+    # than the 13-set capacity (the loop breaks mid-record); clamp so
+    # n_sets always indexes the eph list validly, like the reference's
+    # fixed eph[13][32] array
+    n_sets = min(ieph, EPHEM_ARRAY_SIZE - 1) + 1 if g0 is not None else 0
     result.n_sets = n_sets
     return result
 

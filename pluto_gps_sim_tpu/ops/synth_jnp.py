@@ -74,8 +74,12 @@ class DevicePlan:
     carr_base: np.ndarray   # [M, C, nt] f32    frac(carrier) at tile start
 
 
-def pack_plan(plan, tile: int = TILE) -> DevicePlan:
-    """Convert a runtime.scheduler.SuperframePlan into device arrays."""
+def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
+    """Convert a runtime.scheduler.SuperframePlan into device arrays.
+
+    tables=False skips the tiled/precise-path LUTs and per-tile anchors
+    (~15 MB of f64 work per 300-block superframe); the Pallas path
+    builds its gain tables in-kernel and never reads them."""
     M, C = plan.n_blocks, MAX_CHAN
     N = plan.block_samples
     act = plan.active
@@ -88,20 +92,26 @@ def pack_plan(plan, tile: int = TILE) -> DevicePlan:
     ic0 = np.where(act, plan.icode, 0).astype(np.int32)
     gain = np.where(act, plan.gain, 0.0)
 
-    # +-truncated gain LUTs, f64 exact (C's (int)(table*gain) semantics)
-    qcos = np.trunc(COS_TABLE_512[None, None, :] * gain[..., None])
-    qsin = np.trunc(SIN_TABLE_512[None, None, :] * gain[..., None])
-    qcos_pm = np.concatenate([qcos, -qcos], axis=-1).astype(np.int32)
-    qsin_pm = np.concatenate([qsin, -qsin], axis=-1).astype(np.int32)
-
-    # per-tile anchors (f64 on host; in-tile device math is f32/int32)
     nt = -(-N // tile)
-    tj = (np.arange(nt, dtype=np.float64) * tile)[None, None, :]
-    P_t = cp0[..., None] + v[..., None] * tj
-    code_base = np.floor(P_t).astype(np.int32)
-    code_fq12 = ((P_t - np.floor(P_t)) * 4096.0).astype(np.float32)
-    carr_t = c0[..., None] + u[..., None] * tj
-    carr_base = (carr_t - np.floor(carr_t)).astype(np.float32)
+    if tables:
+        # +-truncated gain LUTs, f64 exact (C's (int)(table*gain))
+        qcos = np.trunc(COS_TABLE_512[None, None, :] * gain[..., None])
+        qsin = np.trunc(SIN_TABLE_512[None, None, :] * gain[..., None])
+        qcos_pm = np.concatenate([qcos, -qcos], axis=-1).astype(np.int32)
+        qsin_pm = np.concatenate([qsin, -qsin], axis=-1).astype(np.int32)
+
+        # per-tile anchors (f64 on host; in-tile device math f32/int32)
+        tj = (np.arange(nt, dtype=np.float64) * tile)[None, None, :]
+        P_t = cp0[..., None] + v[..., None] * tj
+        code_base = np.floor(P_t).astype(np.int32)
+        code_fq12 = ((P_t - np.floor(P_t)) * 4096.0).astype(np.float32)
+        carr_t = c0[..., None] + u[..., None] * tj
+        carr_base = (carr_t - np.floor(carr_t)).astype(np.float32)
+    else:
+        z = np.zeros((M, C, 0), np.int32)
+        qcos_pm = qsin_pm = z
+        code_base = z
+        code_fq12 = carr_base = np.zeros((M, C, 0), np.float32)
 
     v_q12 = np.floor(v * 4096.0).astype(np.int32)
     r4096 = ((v - v_q12 / 4096.0) * 4096.0).astype(np.float32)

@@ -20,10 +20,14 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
             (c:2737)
   mixing    per-block gain-scaled truncated LUTs built once into VMEM
             scratch as BIASED packed pairs: entry(i) = (trunc(cos[i]*g)
-            + 512) | (trunc(sin[i]*g) + 512) << 16; both halves live in
-            [0, 1024], so one int32 accumulator carries the I sum (low
-            16) and Q sum (high 16) for all 12 channels without carries
-            (max 12*1024 < 2^16).  The spreading sign (chip XOR nav bit)
+            + 1024) | (trunc(sin[i]*g) + 1024) << 16; gain can exceed
+            1.0 (path_loss = 20200000/d tops 1.0 whenever the geometric
+            range is under 20,200 km, routine near zenith), so the bias
+            budgets |trunc(T*g)| up to 1024 (gain <= 2, asserted at
+            pack time); both halves live in [0, 2048] and one int32
+            accumulator carries the I sum (low 16) and Q sum (high 16)
+            for all 12 channels without carries (max 12*2048 < 2^16).
+            The spreading sign (chip XOR nav bit)
             becomes one select between `entry` and `BIAS2 - entry`
             (= both halves negated around the bias), replacing the
             unpack/negate/two-accumulate sequence — C's
@@ -105,9 +109,9 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
             g = getf(_F_GAIN, c)
             for r in range(4):
                 ct = (costab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32) + jnp.int32(512)  # trunc, bias
+                      ).astype(jnp.int32) + jnp.int32(1024)  # trunc, bias
                 st = (sintab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32) + jnp.int32(512)
+                      ).astype(jnp.int32) + jnp.int32(1024)
                 lut_scr[c, r, :] = ct | jax.lax.shift_left(st, jnp.int32(16))
 
     # --- per-sample index ramps ------------------------------------------
@@ -173,14 +177,14 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
 
           # spreading sign (chip XOR nav): both biased halves negate
           # around the bias, BIAS2 - entry, with no cross-half borrow
-          # (halves are in [0, 1024]); mask-and form beats jnp.where
+          # (halves are in [0, 2048]); mask-and form beats jnp.where
           # on the VPU (no predicate registers needed)
           m = -(cbit ^ nbit)
-          acc_scr[0] += pk + ((jnp.int32(1024 | (1024 << 16)) -
+          acc_scr[0] += pk + ((jnp.int32(2048 | (2048 << 16)) -
                                jax.lax.shift_left(pk, jnp.int32(1))) & m)
 
     # epilogue: un-bias both halves, emit I/Q
-    bias = nact * jnp.int32(512)
+    bias = nact * jnp.int32(1024)
     acc = acc_scr[0]
     i_val = (acc & jnp.int32(0xFFFF)) - bias
     q_val = jax.lax.shift_right_logical(acc, jnp.int32(16)) - bias
@@ -235,6 +239,9 @@ def build_block_params(dp):
     # in-kernel f32 reciprocal division is exact for chip < 600k
     assert float(np.max(np.abs(dp.v))) <= 1.1, \
         "code rate out of range for the kernel's chip arithmetic"
+    # biased-accumulator budget: |trunc(table*gain)| <= 1024
+    assert float(np.max(np.abs(dp.gain))) <= 2.0, \
+        "channel gain out of range for the biased packed accumulator"
     M, C = dp.active.shape
     act = dp.active
     c0 = np.where(act, dp.c0, 0.0)

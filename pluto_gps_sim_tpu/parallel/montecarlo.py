@@ -66,7 +66,7 @@ class MonteCarloBatch:
             done = 0
             while done < n_blocks:
                 plan = sched.plan(n_blocks - done)
-                dp = pack_plan(plan)
+                dp = pack_plan(plan, tables=False)  # kernel builds LUTs
                 prmi, prmf = sp.build_block_params(dp)
                 prmi_all.append(prmi)
                 prmf_all.append(prmf)
@@ -85,10 +85,17 @@ class MonteCarloBatch:
         over B*n_blocks blocks (sharded over `mesh` when given)."""
         prmi, prmf, ca2, sf_map = self.plan_blocks(n_blocks)
         if mesh is not None:
+            n_time = mesh.shape["time"]
+            pad = (-prmi.shape[0]) % n_time  # time shards need equal blocks
+            if pad:
+                prmi = np.concatenate([prmi, np.zeros_like(prmi[:pad])])
+                prmf = np.concatenate([prmf, np.zeros_like(prmf[:pad])])
+                sf_map = np.concatenate([sf_map, np.zeros(pad, np.int32)])
             n_chan = mesh.shape["chan"]
             prmf_sh = shard_channel_params(prmf, n_chan)
             packed = np.asarray(synth_sharded(
-                mesh, prmi, prmf_sh, ca2, sf_map, self.block_samples))
+                mesh, prmi, prmf_sh, ca2, sf_map,
+                self.block_samples))[:self.B * n_blocks]
         else:
             packed = np.asarray(sp.synth_blocks_pallas(
                 (prmi, prmf), ca2, sf_map, self.block_samples,

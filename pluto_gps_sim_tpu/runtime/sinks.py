@@ -199,6 +199,7 @@ class RealtimeSink:
                               chunk_bytes=chunk)
         self._fd = fd
         self._close_fd = close_fd
+        self._final_stats: dict = {}
         self.bytes_written = 0
 
     def write(self, block: np.ndarray) -> None:
@@ -207,11 +208,13 @@ class RealtimeSink:
         self.bytes_written += data.nbytes
 
     def stats(self) -> dict:
-        return self._rw.stats()
+        return self._rw.stats() if self._rw is not None else \
+            dict(self._final_stats)
 
     def close(self) -> None:
         if self._rw is not None:
             self._rw.close()
+            self._final_stats = self._rw.stats()  # cached post-drain
             self._rw = None
         if self._close_fd and self._fd >= 0:
             os.close(self._fd)
@@ -274,19 +277,27 @@ def open_sink(kind: str, *, path: str | None = None, fs: float = 2.6e6,
               hostname: str | None = None,
               block_samples: int | None = None):
     """Factory: sink spec -> sink object."""
-    if kind == "null":
-        return NullSink()
-    if kind == "udp":
-        return UdpSink(udp_host, udp_port)
-    if kind == "iio":
+    if kind in ("null", "udp", "iio"):
+        if realtime:
+            # the iio sink is hardware-paced; udp/null have no fd for
+            # the ring writer to drain into
+            print(f"WARNING: --realtime applies to file/stdout sinks "
+                  f"only; {kind} sink is unpaced", file=sys.stderr)
+        if kind == "null":
+            return NullSink()
+        if kind == "udp":
+            return UdpSink(udp_host, udp_port)
         return IioSink(fs, bw_hz, gain_db, uri=uri, hostname=hostname)
     if kind == "stdout":
         fd, close_fd = sys.stdout.fileno(), False
     elif kind == "file":
         if not path:
             raise ValueError("file sink needs a path")
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
-        close_fd = True
+        sink = FileSink(path)
+        if not realtime:
+            return sink
+        fd, close_fd = sink.fd, True
+        sink._close_fd = False  # RealtimeSink owns the fd now
     else:
         raise ValueError(f"unknown sink {kind!r}")
     if realtime:

@@ -71,7 +71,7 @@ class IqStream:
             plan = self.sched.plan(min(remaining, max_blocks))
             if plan is None:
                 return
-            dp = pack_plan(plan)
+            dp = self._pack(plan)
             yield self._synth(dp)
             remaining -= plan.n_blocks
 
@@ -86,6 +86,9 @@ class IqStream:
         if self.mode == "pallas":
             return self._synth_pallas(dp)
         return synth_superframe_tiled(dp, device=self.device)
+
+    def _pack(self, plan) -> DevicePlan:
+        return pack_plan(plan, tables=self.mode != "pallas")
 
     def _synth_pallas(self, dp: DevicePlan) -> np.ndarray:
         """The fused TPU kernel — single device, or sharded over a

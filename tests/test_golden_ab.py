@@ -197,6 +197,56 @@ def test_tiled_matches_precise(fixture_paths):
     assert exact >= 0.999
 
 
+def test_pallas_gain_above_unity(fixture_paths):
+    """Regression: path_loss = 20200000/d exceeds 1.0 whenever the
+    geometric range is below 20,200 km (routine near zenith for real
+    ephemerides), making |trunc(table*gain)| > 512.  The kernel's biased
+    packed accumulator must budget for it — with the old 512 bias a
+    single-channel trough sample underflowed the low half and borrowed
+    into Q (I came out ~ +65021 instead of ~ -515)."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (pack_plan,
+                                                 synth_superframe_precise)
+    from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+    sched = Scheduler(rin, g0, ieph, xyz, fs=1_000_000.0,
+                      block_samples=65_536)
+    plan = sched.plan(1)
+    # keep exactly one channel, pushed above unity gain
+    first = int(np.flatnonzero(plan.active[0])[0])
+    act = np.zeros_like(plan.active)
+    act[:, first] = True
+    plan.active = act
+    gain = plan.gain.copy()
+    # 1.0503761...: irrational-ish so T*g rarely lands integer-adjacent
+    # (a rational like 1.05 = 21/20 makes ~5% of products straddle
+    # integers, where f32-vs-f64 scaling rounding legitimately differs
+    # by 1 LSB)
+    gain[:, first] *= 1.0503761437 / gain[:, first].max()
+    plan.gain = gain
+    dp = pack_plan(plan)
+
+    golden = synth_superframe_precise(dp)
+    prm = sp.build_block_params(dp)
+    ca_tabs = sp.pack_ca_tables([dp.ca2])
+    packed = np.asarray(sp.synth_blocks_pallas(
+        prm, ca_tabs, np.zeros(1, np.int32), dp.block_samples,
+        interpret=True))
+    n = dp.block_samples
+    iq = np.stack([(packed[:, :n] & 0xFFFF).astype(np.uint16).view(np.int16),
+                   (packed[:, :n] >> 16).astype(np.int16)], axis=-1)
+    assert golden.min() < -520, "scenario failed to exceed unity gain"
+    diff = np.abs(golden.astype(np.int64) - iq.astype(np.int64))
+    # the underflow bug produced ~65536-sized wraps; scaling-rounding
+    # noise is at most 1 LSB
+    assert diff.max() <= 1, f"gain>1 corruption: max diff {diff.max()}"
+    assert float(np.mean(diff == 0)) >= 0.99
+
+
 def test_pallas_matches_precise(fixture_paths):
     """The fused Pallas kernel (interpret mode on CPU) against the f64
     golden path."""
