@@ -17,8 +17,6 @@ mode elsewhere so the same path dry-runs on virtual CPU meshes).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import MAX_CHAN, MAX_SAT, N_DWRD, LAMBDA_L1, R2D
+from ..constants import MAX_CHAN, MAX_SAT, N_DWRD, LAMBDA_L1
 from ..models import lnav, orbits
 from ..models.gpstime import GpsTime
 from ..types import Ephemerides, IonoUtc

@@ -19,9 +19,7 @@ import numpy as np
 from ..constants import EPHEM_ARRAY_SIZE, MAX_SAT, SECONDS_IN_HOUR
 from ..ingest.rinex import RinexResult
 from ..models.gpstime import (
-    DateTime,
     GpsTime,
-    date2gps,
     gps2date,
     inc_gps_time,
     sub_gps_time,

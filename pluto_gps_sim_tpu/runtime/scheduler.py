@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import CA_SEQ_LEN, MAX_CHAN, N_DWRD
+from ..constants import MAX_CHAN, N_DWRD
 from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 import jax
 import numpy as np
 
-from .constants import MAX_CHAN, MAX_SAT, N_DWRD
+from .constants import MAX_CHAN, MAX_SAT
 
 __all__ = ["Ephemerides", "IonoUtc", "EpochParams", "empty_ephemerides"]
 
