@@ -83,7 +83,14 @@ class MonteCarloBatch:
                  interpret: bool = False) -> np.ndarray:
         """Synthesize [B, n_blocks, N, 2] int16 IQ in one kernel launch
         over B*n_blocks blocks (sharded over `mesh` when given)."""
+        import jax
+
         prmi, prmf, ca2, sf_map = self.plan_blocks(n_blocks)
+        if mesh is None and device is None and not interpret:
+            # compiled Pallas needs a TPU; interpret elsewhere
+            tpus = [d for d in jax.devices() if d.platform == "tpu"]
+            device = tpus[0] if tpus else None
+            interpret = not tpus
         if mesh is not None:
             n_time = mesh.shape["time"]
             pad = (-prmi.shape[0]) % n_time  # time shards need equal blocks
