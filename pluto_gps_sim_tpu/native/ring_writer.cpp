@@ -41,6 +41,10 @@ struct RingWriter {
     // pacing: consumer emits chunk_bytes every chunk_ns (0 = unpaced)
     uint64_t chunk_bytes = 0;
     uint64_t chunk_ns = 0;
+    // datagram mode: each write() is one packet; wait for a full chunk
+    // (except at drain end) so packets keep their size and the ring's
+    // chunk-aligned tail never splits one across the wrap boundary
+    bool datagram = false;
 
     pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
     pthread_cond_t can_push = PTHREAD_COND_INITIALIZER;
@@ -91,7 +95,8 @@ void *consumer_main(void *arg) {
 
     for (;;) {
         pthread_mutex_lock(&rw->mu);
-        while (rw->fill == 0 && !rw->closing)
+        size_t need = rw->datagram ? chunk : 1;
+        while (rw->fill < need && !rw->closing)
             pthread_cond_wait(&rw->can_pop, &rw->mu);
         if (rw->fill == 0 && rw->closing) {
             pthread_mutex_unlock(&rw->mu);
@@ -142,11 +147,16 @@ extern "C" {
 
 // bytes_per_sec <= 0 disables pacing (drain at I/O speed).
 // chunk_bytes: pacing granularity (e.g. one 0.1 s block); 0 = 1 MiB.
+// flags bit 0: datagram mode (each write() is one packet of chunk_bytes;
+// capacity must be a chunk multiple).
 void *rw_create(int fd, size_t capacity, double bytes_per_sec,
-                size_t chunk_bytes) {
+                size_t chunk_bytes, int flags) {
     if (fd < 0 || capacity == 0)
         return nullptr;
+    if ((flags & 1) && (chunk_bytes == 0 || capacity % chunk_bytes != 0))
+        return nullptr;
     RingWriter *rw = new RingWriter();
+    rw->datagram = (flags & 1) != 0;
     rw->fd = fd;
     rw->cap = capacity;
     rw->buf = new (std::nothrow) char[capacity];

@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 __all__ = ["open_sink", "FileSink", "FdSink", "UdpSink", "NullSink",
-           "IioSink", "RealtimeSink", "StatsSink"]
+           "IioSink", "RealtimeSink", "UdpRealtimeSink", "StatsSink"]
 
 
 def _as_bytes(block: np.ndarray) -> np.ndarray:
@@ -181,6 +181,50 @@ class IioSink:
         self.close()
 
 
+class UdpRealtimeSink:
+    """UDP datagrams paced to fs by the native ring writer.
+
+    A connected SOCK_DGRAM socket turns each consumer-thread write()
+    into one datagram; the ring writer emits fixed payload_samples-sized
+    packets on absolute deadlines, so a receiver sees the stream at
+    exactly 4*fs bytes/s regardless of how far ahead the TPU runs."""
+
+    def __init__(self, host: str, port: int, fs: float,
+                 payload_samples: int = 360, ring_seconds: float = 2.0):
+        from ..utils.native import RingWriter
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.connect((host, port))
+        chunk = payload_samples * 4
+        cap = max(int(ring_seconds * fs * 4), 8 * chunk)
+        self._rw = RingWriter(self.sock.fileno(), cap,
+                              bytes_per_sec=4.0 * fs, chunk_bytes=chunk,
+                              datagram=True)
+        self._final_stats: dict = {}
+        self.bytes_written = 0
+
+    def write(self, block: np.ndarray) -> None:
+        data = _as_bytes(block)
+        self._rw.push(data)
+        self.bytes_written += data.nbytes
+
+    def stats(self) -> dict:
+        return self._rw.stats() if self._rw is not None else \
+            dict(self._final_stats)
+
+    def close(self) -> None:
+        if self._rw is not None:
+            self._rw.close()
+            self._final_stats = self._rw.stats()
+            self._rw = None
+        self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class RealtimeSink:
     """Wraps an fd-backed sink with the native paced ring writer.
 
@@ -278,11 +322,16 @@ def open_sink(kind: str, *, path: str | None = None, fs: float = 2.6e6,
               block_samples: int | None = None):
     """Factory: sink spec -> sink object."""
     if kind in ("null", "udp", "iio"):
-        if realtime:
-            # the iio sink is hardware-paced; udp/null have no fd for
-            # the ring writer to drain into
-            print(f"WARNING: --realtime applies to file/stdout sinks "
-                  f"only; {kind} sink is unpaced", file=sys.stderr)
+        if kind == "udp" and realtime:
+            try:
+                return UdpRealtimeSink(udp_host, udp_port, fs)
+            except Exception as e:
+                print(f"WARNING: native paced UDP unavailable ({e}); "
+                      f"sending unpaced", file=sys.stderr)
+        elif realtime:
+            # the iio sink is hardware-paced; null has nothing to pace
+            print(f"WARNING: --realtime has no effect on the {kind} sink",
+                  file=sys.stderr)
         if kind == "null":
             return NullSink()
         if kind == "udp":

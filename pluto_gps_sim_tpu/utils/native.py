@@ -60,7 +60,8 @@ def load_ring_writer() -> ctypes.CDLL:
         lib = ctypes.CDLL(_build())
         lib.rw_create.restype = ctypes.c_void_p
         lib.rw_create.argtypes = [ctypes.c_int, ctypes.c_size_t,
-                                  ctypes.c_double, ctypes.c_size_t]
+                                  ctypes.c_double, ctypes.c_size_t,
+                                  ctypes.c_int]
         lib.rw_push.restype = ctypes.c_int
         lib.rw_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_size_t]
@@ -84,10 +85,17 @@ class RingWriter:
     """
 
     def __init__(self, fd: int, capacity: int, bytes_per_sec: float = 0.0,
-                 chunk_bytes: int = 0):
+                 chunk_bytes: int = 0, datagram: bool = False):
         self._lib = load_ring_writer()
+        if datagram:
+            # every consumer write() must emit one whole datagram: round
+            # the capacity to a chunk multiple so the ring never splits a
+            # chunk across the wrap boundary
+            if chunk_bytes <= 0:
+                raise ValueError("datagram mode needs chunk_bytes")
+            capacity = -(-capacity // chunk_bytes) * chunk_bytes
         self._h = self._lib.rw_create(fd, capacity, float(bytes_per_sec),
-                                      int(chunk_bytes))
+                                      int(chunk_bytes), 1 if datagram else 0)
         if not self._h:
             raise NativeBuildError("rw_create failed")
 

@@ -172,3 +172,57 @@ def test_ring_writer_pacing(tmp_path):
     assert os.path.getsize(path) == n
     # first chunk emits immediately -> expect ~(n - chunk)/rate
     assert 0.25 <= dt <= 1.5, f"paced drain took {dt:.3f}s, expected ~0.36s"
+
+
+def test_udp_realtime_pacing(tmp_path):
+    """Native datagram pacing: fixed-size packets at ~4*fs bytes/s."""
+    from pluto_gps_sim_tpu.runtime.sinks import UdpRealtimeSink
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4 * 1024 * 1024)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(0.5)
+    port = rx.getsockname()[1]
+
+    fs = 1_000_000.0  # 4 MB/s -> 0.4 s for 0.4 s of signal
+    n = 400_000       # samples
+    data = np.zeros((n, 2), dtype=np.int16)
+
+    sizes = []
+    done = threading.Event()
+
+    def drain():
+        got = 0
+        while got < 4 * n:
+            try:
+                pkt, _ = rx.recvfrom(65536)
+            except socket.timeout:
+                if done.is_set():
+                    break
+                continue
+            sizes.append(len(pkt))
+            got += len(pkt)
+
+    t = threading.Thread(target=drain)
+    t.start()
+    try:
+        sink = UdpRealtimeSink("127.0.0.1", port, fs)
+    except Exception as e:
+        done.set()
+        t.join()
+        rx.close()
+        pytest.skip(f"no native toolchain: {e}")
+    t0 = time.time()
+    sink.write(data)
+    sink.close()   # drains the ring at the paced rate
+    dt = time.time() - t0
+    done.set()
+    t.join()
+    rx.close()
+
+    received = sum(sizes)
+    assert received >= 4 * n // 2, f"received only {received} bytes"
+    # all mid-stream datagrams are exactly payload-sized (360 samples)
+    assert set(sizes[:-1]) == {1440}, set(sizes)
+    # paced: 1.6 MB at 4 MB/s should take ~0.4 s (first chunk immediate)
+    assert dt >= 0.25, f"drained in {dt:.3f}s - pacing not applied"
