@@ -118,6 +118,26 @@ def test_golden_user_motion(oracle_exe, tmp_path, fixture_paths):
     print(f"motion: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
 
 
+def test_golden_rinex3(oracle_exe, tmp_path, fixture_paths):
+    """RINEX v3 end-to-end: oracle -3 path vs our read_rinex3 -> IQ.
+
+    Reference quirk: its getopt string declares `3:` (argument-taking,
+    c:2296), so -3 consumes the NEXT token — put it last with a dummy
+    argument or it silently eats another flag.  Our -3 is a plain flag."""
+    ref_blocks, _ = _run_scenario(
+        oracle_exe, tmp_path, fixture_paths["rinex3"],
+        ["-l", "35.681298,139.766247,10.0", "-3", "x"])
+    from pluto_gps_sim_tpu.ingest import read_rinex3
+    rin = read_rinex3(fixture_paths["rinex3"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+    stream = IqStream(rin, g0, ieph, xyz, fs=FS, mode="precise")
+    ours = stream.generate(ref_blocks.shape[0])
+    snr, exact = _compare(ref_blocks, ours)
+    print(f"rinex3: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+
+
 def test_golden_fs5mhz_ref_compat(oracle_exe, tmp_path, fixture_paths):
     """configs[1] at -s 5000000.  The reference's NUM_SAMPLES is a
     compile-time 300,000 (c:44), so at fs=5 MHz each buffer spans only
