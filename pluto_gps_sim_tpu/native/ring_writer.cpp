@@ -74,12 +74,14 @@ void sleep_until(uint64_t t_ns) {
     }
 }
 
-bool write_all(int fd, const char *p, size_t n) {
+bool write_all(int fd, const char *p, size_t n, bool datagram) {
     while (n > 0) {
         ssize_t w = write(fd, p, n);
         if (w < 0) {
             if (errno == EINTR)
                 continue;
+            if (datagram && errno == ECONNREFUSED)
+                return true;  // fire-and-forget: receiver absent, drop
             return false;
         }
         p += w;
@@ -120,9 +122,9 @@ void *consumer_main(void *arg) {
 
         bool ok = true;
         size_t first = rw->cap - tail < n ? rw->cap - tail : n;
-        ok = write_all(rw->fd, rw->buf + tail, first);
+        ok = write_all(rw->fd, rw->buf + tail, first, rw->datagram);
         if (ok && first < n)
-            ok = write_all(rw->fd, rw->buf, n - first);
+            ok = write_all(rw->fd, rw->buf, n - first, rw->datagram);
 
         pthread_mutex_lock(&rw->mu);
         rw->tail = (tail + n) % rw->cap;

@@ -30,7 +30,7 @@ from ..models.gpstime import GpsTime
 from ..ops import synth_pallas as sp
 from ..ops.synth_jnp import pack_plan
 from ..runtime.scheduler import Scheduler
-from .shard import shard_channel_params, synth_sharded
+from .shard import pad_time_shards, shard_channel_params, synth_sharded
 
 __all__ = ["MonteCarloBatch"]
 
@@ -92,14 +92,9 @@ class MonteCarloBatch:
             device = tpus[0] if tpus else None
             interpret = not tpus
         if mesh is not None:
-            n_time = mesh.shape["time"]
-            pad = (-prmi.shape[0]) % n_time  # time shards need equal blocks
-            if pad:
-                prmi = np.concatenate([prmi, np.zeros_like(prmi[:pad])])
-                prmf = np.concatenate([prmf, np.zeros_like(prmf[:pad])])
-                sf_map = np.concatenate([sf_map, np.zeros(pad, np.int32)])
-            n_chan = mesh.shape["chan"]
-            prmf_sh = shard_channel_params(prmf, n_chan)
+            prmi, prmf, sf_map = pad_time_shards(
+                prmi, prmf, sf_map, mesh.shape["time"])
+            prmf_sh = shard_channel_params(prmf, mesh.shape["chan"])
             packed = np.asarray(synth_sharded(
                 mesh, prmi, prmf_sh, ca2, sf_map,
                 self.block_samples))[:self.B * n_blocks]

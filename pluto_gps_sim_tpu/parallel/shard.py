@@ -25,7 +25,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import MAX_CHAN
 from ..ops import synth_pallas as sp
 
-__all__ = ["shard_channel_params", "synth_sharded"]
+__all__ = ["pad_time_shards", "shard_channel_params", "synth_sharded"]
+
+
+def pad_time_shards(prmi: np.ndarray, prmf: np.ndarray, sf_map: np.ndarray,
+                    n_time: int):
+    """Zero-pad the block axis to a multiple of the mesh's time shards.
+
+    Padded blocks have zero gain everywhere, so they synthesize silence
+    and are sliced off by the caller."""
+    m = prmi.shape[0]
+    pad = (-m) % n_time
+    if pad:
+        prmi = np.concatenate(
+            [prmi, np.zeros((pad,) + prmi.shape[1:], prmi.dtype)])
+        prmf = np.concatenate(
+            [prmf, np.zeros((pad,) + prmf.shape[1:], prmf.dtype)])
+        sf_map = np.concatenate([sf_map, np.zeros(pad, np.int32)])
+    return prmi, prmf, sf_map
 
 
 def shard_channel_params(prmf: np.ndarray, n_chan_shards: int) -> np.ndarray:

@@ -193,12 +193,16 @@ class UdpRealtimeSink:
                  payload_samples: int = 360, ring_seconds: float = 2.0):
         from ..utils.native import RingWriter
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.connect((host, port))
-        chunk = payload_samples * 4
-        cap = max(int(ring_seconds * fs * 4), 8 * chunk)
-        self._rw = RingWriter(self.sock.fileno(), cap,
-                              bytes_per_sec=4.0 * fs, chunk_bytes=chunk,
-                              datagram=True)
+        try:
+            self.sock.connect((host, port))
+            chunk = payload_samples * 4
+            cap = max(int(ring_seconds * fs * 4), 8 * chunk)
+            self._rw = RingWriter(self.sock.fileno(), cap,
+                                  bytes_per_sec=4.0 * fs, chunk_bytes=chunk,
+                                  datagram=True)
+        except Exception:
+            self.sock.close()
+            raise
         self._final_stats: dict = {}
         self.bytes_written = 0
 

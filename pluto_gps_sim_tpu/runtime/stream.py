@@ -102,13 +102,10 @@ class IqStream:
         ca_tabs = sp.pack_ca_tables([dp.ca2])
         sf_map = np.zeros(dp.n_blocks, np.int32)
         if self.mesh is not None:
-            from ..parallel import shard_channel_params, synth_sharded
-            n_time = self.mesh.shape["time"]
-            pad = (-dp.n_blocks) % n_time   # time shards need equal blocks
-            if pad:
-                prmi = np.concatenate([prmi, np.zeros_like(prmi[:pad])])
-                prmf = np.concatenate([prmf, np.zeros_like(prmf[:pad])])
-                sf_map = np.concatenate([sf_map, np.zeros(pad, np.int32)])
+            from ..parallel import (pad_time_shards, shard_channel_params,
+                                    synth_sharded)
+            prmi, prmf, sf_map = pad_time_shards(
+                prmi, prmf, sf_map, self.mesh.shape["time"])
             prmf_sh = shard_channel_params(prmf, self.mesh.shape["chan"])
             packed = np.asarray(synth_sharded(
                 self.mesh, prmi, prmf_sh, ca_tabs, sf_map,

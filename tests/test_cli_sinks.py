@@ -226,3 +226,19 @@ def test_udp_realtime_pacing(tmp_path):
     assert set(sizes[:-1]) == {1440}, set(sizes)
     # paced: 1.6 MB at 4 MB/s should take ~0.4 s (first chunk immediate)
     assert dt >= 0.25, f"drained in {dt:.3f}s - pacing not applied"
+
+
+def test_udp_realtime_tolerates_absent_receiver():
+    """Fire-and-forget: ECONNREFUSED (nobody listening) must not abort
+    the paced stream."""
+    from pluto_gps_sim_tpu.runtime.sinks import UdpRealtimeSink
+    try:
+        sink = UdpRealtimeSink("127.0.0.1", 9, 1_000_000.0)  # discard port
+    except Exception as e:
+        pytest.skip(f"no native toolchain: {e}")
+    data = np.zeros((100_000, 2), dtype=np.int16)
+    sink.write(data)      # would raise IOError if the consumer aborted
+    sink.write(data)
+    stats = sink.stats()
+    sink.close()
+    assert sink.stats()["bytes_written"] >= 0  # post-close stats work

@@ -74,3 +74,19 @@ def test_mc_rejects_bad_shapes(scenario):
     rin, g0, ieph = scenario
     with pytest.raises(ValueError):
         MonteCarloBatch(rin, g0, ieph, np.zeros((2, 3, 3, 1)), fs=FS)
+
+
+def test_mc_mesh_padding_small_batch(scenario):
+    """Regression: B*n_blocks smaller than the time-shard count must pad
+    up (zeros_like(prmi[:pad]) under-padded when pad > M)."""
+    import jax
+    rin, g0, ieph = scenario
+    xyz = _perturbed_receivers(1)
+    mc = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    mesh = make_mesh(jax.devices("cpu")[:8], time_shards=4, chan_shards=2)
+    iq = mc.generate(n_blocks=1, mesh=mesh)  # 1 block over 4 time shards
+    assert iq.shape == (1, 1, BS, 2)
+
+    mc2 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    ref = mc2.generate(n_blocks=1, interpret=True)
+    assert np.array_equal(iq, ref)
