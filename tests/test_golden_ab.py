@@ -118,6 +118,19 @@ def test_golden_user_motion(oracle_exe, tmp_path, fixture_paths):
     print(f"motion: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
 
 
+def test_golden_full_occupancy(oracle_exe, tmp_path, fixture_paths):
+    """A location with 15 visible satellites: all 12 channel slots busy
+    (the reference's worst case), 3 SVs skipped identically."""
+    ref_blocks, _ = _run_scenario(oracle_exe, tmp_path,
+                                  fixture_paths["rinex2"],
+                                  ["-l", "30.0,-120.0,10.0"])
+    llh = np.array([30.0 / R2D, -120.0 / R2D, 10.0])
+    xyz = np.asarray(llh2xyz(llh))
+    ours = _our_stream(fixture_paths, xyz, ref_blocks.shape[0])
+    snr, exact = _compare(ref_blocks, ours)
+    print(f"full occupancy: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+
+
 def test_golden_rinex3(oracle_exe, tmp_path, fixture_paths):
     """RINEX v3 end-to-end: oracle -3 path vs our read_rinex3 -> IQ.
 

@@ -157,3 +157,26 @@ def test_stream_mesh_sharded_matches_single(rinex):
     b = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=32768,
                  mode="pallas", mesh=mesh).generate(3)
     assert np.array_equal(a, b)
+
+
+def test_channel_exhaustion_more_visible_than_slots(rinex):
+    """15 satellites visible but only 12 channel slots: the allocator
+    claims the first 12 in SV order and skips the rest without error
+    (reference semantics, c:1936-1972); a freed slot is reclaimed by an
+    unallocated visible SV at the next boundary."""
+    from pluto_gps_sim_tpu.models import orbits
+    xyz = np.asarray(llh2xyz(np.radians(np.array([30.0, 240.0, 0.0]))
+                             + [0, 0, 10.0]))
+    g0 = setup_scenario(rinex, None)
+    sched = Scheduler(rinex, g0, select_ephemeris_set(rinex, g0), xyz,
+                      fs=FS, block_samples=16384)
+    st = sched.state
+    vis, _ = orbits.check_visibility(rinex.eph[0], g0.sec, xyz)
+    vis_svs = np.flatnonzero(np.asarray(vis))
+    assert vis_svs.size > 12, "fixture scenario no longer exhausts slots"
+    assert int((st.prn > 0).sum()) == 12
+    # lowest-numbered visible SVs win, like the reference's scan order
+    assert set(st.prn[st.prn > 0] - 1) == set(vis_svs[:12])
+    # stream still synthesizes fine at full occupancy
+    plan = sched.plan(1)
+    assert plan.active[0].sum() == 12
