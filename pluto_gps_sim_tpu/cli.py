@@ -118,10 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="signal duration in seconds (0 = endless)")
     p.add_argument("--realtime", action="store_true",
                    help="pace output to fs via the native ring writer")
-    p.add_argument("--mode", choices=["pallas", "tiled", "precise"],
-                   default="tiled",
-                   help="synthesis path (pallas = fused TPU kernel, "
-                   "tiled = XLA, precise = f64 golden)")
+    p.add_argument("--mode", choices=["auto", "pallas", "tiled", "precise"],
+                   default="auto",
+                   help="synthesis path (auto = pallas on TPU else tiled; "
+                   "pallas = fused TPU kernel, tiled = XLA, "
+                   "precise = f64 golden)")
     p.add_argument("--udp-host", default="127.0.0.1")
     p.add_argument("--udp-port", type=int, default=5015)
     p.add_argument("--snapshot", metavar="FILE",
@@ -256,8 +257,13 @@ def main(argv: list[str] | None = None) -> int:
           f"({g0.week}:{g0.sec:.0f})", file=sys.stderr)
 
     # --- stream -------------------------------------------------------------
+    mode = args.mode
+    if mode == "auto":
+        import jax
+        mode = ("pallas" if any(d.platform == "tpu" for d in jax.devices())
+                else "tiled")
     stream = IqStream(rin, g0, ieph, xyz, fs=args.fs,
-                      static_mode=static_mode, mode=args.mode)
+                      static_mode=static_mode, mode=mode)
     if args.resume:
         with open(args.resume, "rb") as fp:
             stream.restore(_load_snapshot(fp))
