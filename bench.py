@@ -108,14 +108,14 @@ def main() -> None:
     # not the tunnel.
     def timed(k):
         ts = []
-        for rep in range(5):
+        for rep in range(7):
             t0 = time.time()
             run_chain(k, rep % 2)
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
-    t1, t4 = timed(1), timed(4)
-    dt = max((t4 - t1) / 3.0, 1e-9)
+    t1, t6 = timed(1), timed(6)
+    dt = max((t6 - t1) / 5.0, 1e-9)
 
     samples = M * block_samples
     msps = samples / dt / 1e6
