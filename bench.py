@@ -10,8 +10,8 @@ vs_baseline is the real-time multiple at 2.6 MHz (the reference's
 implicit baseline is 1.0).
 
 Notes: under the axon tunnel, block_until_ready() is a no-op and results
-of identical calls may be cached, so timing alternates two distinct
-parameter sets and forces a device-to-host fetch per call.
+of identical calls may be cached, so timing rotates seven distinct
+parameter sets and forces a device-to-host fetch per chain.
 """
 
 import json
@@ -72,7 +72,10 @@ def main() -> None:
         return (prmi, prmf), ca_tabs, sf_map, dps[0].block_samples
 
     n_sf = 4  # 120 s of signal per call
-    raw = [build_args(n_sf) for _ in range(2)]
+    # 7 distinct parameter sets so no call in a timing chain repeats an
+    # earlier one byte-for-byte (the axon tunnel may cache identical
+    # calls, which would inflate the slope)
+    raw = [build_args(n_sf) for _ in range(7)]
     tpu = jax.devices()[0]
     import jax.numpy as jnp
 
@@ -92,25 +95,25 @@ def main() -> None:
                  sp._COSTAB, sp._SINTAB)))
 
     def run_chain(k, flip):
-        """k chained kernel calls, one D2H fetch at the end."""
+        """k chained DISTINCT kernel calls, one D2H fetch at the end."""
         with jax.enable_x64(False):
             for i in range(k):
-                out = fn(*argsets[(flip + i) % 2])
+                out = fn(*argsets[(flip + i) % len(argsets)])
         return np.asarray(out[-1, -1])
 
-    run_chain(2, 0)  # compile + warm both argsets
+    run_chain(len(argsets), 0)  # compile + warm every argset
 
     # The axon tunnel adds a large flat dispatch+fetch latency per
     # Python-visible call (~40 ms) that does not exist on directly
     # attached TPUs and amortizes over streamed minutes of signal in
     # production; measure the device throughput as the SLOPE between
-    # 1-call and 4-call timings so the report reflects the hardware,
+    # 1-call and 6-call timings so the report reflects the hardware,
     # not the tunnel.
     def timed(k):
         ts = []
         for rep in range(7):
             t0 = time.time()
-            run_chain(k, rep % 2)
+            run_chain(k, rep)
             ts.append(time.time() - t0)
         return float(np.median(ts))
 

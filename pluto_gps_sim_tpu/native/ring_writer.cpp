@@ -80,8 +80,14 @@ bool write_all(int fd, const char *p, size_t n, bool datagram) {
         if (w < 0) {
             if (errno == EINTR)
                 continue;
-            if (datagram && errno == ECONNREFUSED)
-                return true;  // fire-and-forget: receiver absent, drop
+            // fire-and-forget datagrams: transient delivery failures
+            // (absent receiver, routing blip, full socket buffer) drop
+            // the packet but must not kill the paced stream
+            if (datagram && (errno == ECONNREFUSED || errno == EHOSTUNREACH ||
+                             errno == ENETUNREACH || errno == ENETDOWN ||
+                             errno == EHOSTDOWN || errno == ENOBUFS ||
+                             errno == EPERM))
+                return true;
             return false;
         }
         p += w;

@@ -181,54 +181,6 @@ class IioSink:
         self.close()
 
 
-class UdpRealtimeSink:
-    """UDP datagrams paced to fs by the native ring writer.
-
-    A connected SOCK_DGRAM socket turns each consumer-thread write()
-    into one datagram; the ring writer emits fixed payload_samples-sized
-    packets on absolute deadlines, so a receiver sees the stream at
-    exactly 4*fs bytes/s regardless of how far ahead the TPU runs."""
-
-    def __init__(self, host: str, port: int, fs: float,
-                 payload_samples: int = 360, ring_seconds: float = 2.0):
-        from ..utils.native import RingWriter
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        try:
-            self.sock.connect((host, port))
-            chunk = payload_samples * 4
-            cap = max(int(ring_seconds * fs * 4), 8 * chunk)
-            self._rw = RingWriter(self.sock.fileno(), cap,
-                                  bytes_per_sec=4.0 * fs, chunk_bytes=chunk,
-                                  datagram=True)
-        except Exception:
-            self.sock.close()
-            raise
-        self._final_stats: dict = {}
-        self.bytes_written = 0
-
-    def write(self, block: np.ndarray) -> None:
-        data = _as_bytes(block)
-        self._rw.push(data)
-        self.bytes_written += data.nbytes
-
-    def stats(self) -> dict:
-        return self._rw.stats() if self._rw is not None else \
-            dict(self._final_stats)
-
-    def close(self) -> None:
-        if self._rw is not None:
-            self._rw.close()
-            self._final_stats = self._rw.stats()
-            self._rw = None
-        self.sock.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-
-
 class RealtimeSink:
     """Wraps an fd-backed sink with the native paced ring writer.
 
@@ -239,15 +191,17 @@ class RealtimeSink:
     """
 
     def __init__(self, fd: int, fs: float, close_fd: bool = False,
-                 ring_seconds: float = 2.0, block_samples: int | None = None):
+                 ring_seconds: float = 2.0, block_samples: int | None = None,
+                 payload_samples: int | None = None):
         from ..utils.native import RingWriter
-        chunk = (block_samples or int(round(fs / 10))) * 4
-        cap = max(int(ring_seconds * fs * 4), 4 * chunk)
+        datagram = payload_samples is not None
+        chunk = (payload_samples if datagram
+                 else (block_samples or int(round(fs / 10)))) * 4
+        cap = max(int(ring_seconds * fs * 4), 8 * chunk)
         self._rw = RingWriter(fd, cap, bytes_per_sec=4.0 * fs,
-                              chunk_bytes=chunk)
+                              chunk_bytes=chunk, datagram=datagram)
         self._fd = fd
         self._close_fd = close_fd
-        self._final_stats: dict = {}
         self.bytes_written = 0
 
     def write(self, block: np.ndarray) -> None:
@@ -256,14 +210,10 @@ class RealtimeSink:
         self.bytes_written += data.nbytes
 
     def stats(self) -> dict:
-        return self._rw.stats() if self._rw is not None else \
-            dict(self._final_stats)
+        return self._rw.stats()  # RingWriter caches final stats post-close
 
     def close(self) -> None:
-        if self._rw is not None:
-            self._rw.close()
-            self._final_stats = self._rw.stats()  # cached post-drain
-            self._rw = None
+        self._rw.close()  # idempotent; drains at the paced rate
         if self._close_fd and self._fd >= 0:
             os.close(self._fd)
             self._fd = -1
@@ -273,6 +223,33 @@ class RealtimeSink:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class UdpRealtimeSink(RealtimeSink):
+    """UDP datagrams paced to fs by the native ring writer.
+
+    A connected SOCK_DGRAM socket turns each consumer-thread write()
+    into one datagram; the ring writer emits fixed payload_samples-sized
+    packets on absolute deadlines, so a receiver sees the stream at
+    exactly 4*fs bytes/s regardless of how far ahead the TPU runs.
+    Transient delivery errors (absent receiver, routing blips) drop
+    packets fire-and-forget without stopping the stream."""
+
+    def __init__(self, host: str, port: int, fs: float,
+                 payload_samples: int = 360, ring_seconds: float = 2.0):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            self.sock.connect((host, port))
+            super().__init__(self.sock.fileno(), fs,
+                             ring_seconds=ring_seconds,
+                             payload_samples=payload_samples)
+        except Exception:
+            self.sock.close()
+            raise
+
+    def close(self) -> None:
+        super().close()
+        self.sock.close()
 
 
 class StatsSink:

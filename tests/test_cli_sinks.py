@@ -239,6 +239,7 @@ def test_udp_realtime_tolerates_absent_receiver():
     data = np.zeros((100_000, 2), dtype=np.int16)
     sink.write(data)      # would raise IOError if the consumer aborted
     sink.write(data)
-    stats = sink.stats()
     sink.close()
-    assert sink.stats()["bytes_written"] >= 0  # post-close stats work
+    # all datagrams were "written" (dropped fire-and-forget), and
+    # post-close stats return the drained totals
+    assert sink.stats()["bytes_written"] == 2 * 400_000
