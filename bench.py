@@ -92,7 +92,7 @@ def main() -> None:
             argsets.append(tuple(
                 jax.device_put(jnp.asarray(x), tpu) for x in
                 (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
-                 sp._COSTAB, sp._SINTAB)))
+                 sp._RAWTAB)))
 
     def run_chain(k, flip):
         """k chained DISTINCT kernel calls, one D2H fetch at the end."""

@@ -18,21 +18,30 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
   C/A chips bit-packed: 1023 chips -> 32 uint32 words in one 128-lane
             row; one lane-gather + variable shift replaces a table walk
             (c:2737)
-  mixing    per-block gain-scaled truncated LUTs built once into VMEM
-            scratch as BIASED packed pairs: entry(i) = (trunc(cos[i]*g)
-            + 1024) | (trunc(sin[i]*g) + 1024) << 16; gain can exceed
-            1.0 (path_loss = 20200000/d tops 1.0 whenever the geometric
-            range is under 20,200 km, routine near zenith), so the bias
-            budgets |trunc(T*g)| up to 1024 (gain <= 2, asserted at
-            pack time); both halves live in [0, 2048] and one int32
-            accumulator carries the I sum (low 16) and Q sum (high 16)
-            for all 12 channels without carries (max 12*2048 < 2^16).
-            The spreading sign (chip XOR nav bit)
-            becomes one select between `entry` and `BIAS2 - entry`
-            (= both halves negated around the bias), replacing the
-            unpack/negate/two-accumulate sequence — C's
-            `(int)(dataBit*codeCA*table*gain)` truncation is still
-            reproduced exactly as sign * trunc(table*gain) (c:2701-2702)
+  mixing    ONE gather per channel per sample from a 128-entry RAW
+            quadrant-0 table of biased packed pairs, raw(j) = (cos[j]
+            + 512) | (sin[j]+512) << 16.  The other three quadrants
+            derive with exact table identities (the reference's int
+            tables satisfy cos[128+j] = 2-sin[j], sin[128+j] = cos[j],
+            and half-wave x[256+i] = 2-x[i], verified exhaustively,
+            with exactly one exception — cos[384] — patched by a
+            compare): a halves-swap plus per-half complements around
+            the 512 bias, selected by itab bits 7..8.  Gain scaling is
+            per sample, iv = trunc(f32(cos)*f32(gain)) — the identical
+            expression the old per-block scratch build used, so outputs
+            are bit-identical, and it replaces a 4-gather select tree
+            (measured 25% of kernel time).  Gain can exceed 1.0
+            (path_loss = 20200000/d tops 1.0 whenever the geometric
+            range is under 20,200 km, routine near zenith), so the
+            accumulator bias budgets |trunc(T*g)| up to 1024 (gain <= 2,
+            asserted at pack time); both halves of the re-biased pair
+            live in [0, 2048] and one int32 accumulator carries the I
+            sum (low 16) and Q sum (high 16) for all 12 channels
+            without carries (max 12*2048 < 2^16).  The spreading sign
+            (chip XOR nav bit) is one mask-and complement around the
+            bias — C's `(int)(dataBit*codeCA*table*gain)` truncation is
+            still reproduced exactly as sign * trunc(table*gain)
+            (c:2701-2702)
   output    per-tile epilogue un-biases with the in-kernel count of
             executed channels, then packs (I & 0xffff) | (Q << 16) int32
             — memory-identical to the reference's interleaved
@@ -89,11 +98,11 @@ _INV1023 = np.float32(np.nextafter(np.float32(1.0 / 1023.0),
                                    np.float32(np.inf)))
 
 
-def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
-            sintab_ref, *out_and_scratch):
-    out_refs = out_and_scratch[:-2]
+def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
+            *out_and_scratch):
+    out_refs = out_and_scratch[:-1]
     out_ref = out_refs[0] if len(out_refs) == 1 else list(out_refs)
-    lut_scr, acc_scr = out_and_scratch[-2:]
+    acc_scr = out_and_scratch[-1]
     t = pl.program_id(1)
 
     def geti(col, c):
@@ -101,18 +110,6 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
 
     def getf(col, c):
         return prmf_ref[0, 0, col + c]
-
-    # --- per-block setup: biased gain-scaled truncated LUTs into scratch -
-    @pl.when(t == 0)
-    def _build_tables():
-        for c in range(_C):
-            g = getf(_F_GAIN, c)
-            for r in range(4):
-                ct = (costab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32) + jnp.int32(1024)  # trunc, bias
-                st = (sintab_ref[r, :].astype(jnp.float32) * g
-                      ).astype(jnp.int32) + jnp.int32(1024)
-                lut_scr[c, r, :] = ct | jax.lax.shift_left(st, jnp.int32(16))
 
     # --- per-sample index ramps ------------------------------------------
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
@@ -168,20 +165,46 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, costab_ref,
           cbit = jax.lax.shift_right_logical(
               word, cidx & jnp.int32(31)) & jnp.int32(1)
 
-          # packed cos|sin LUT: 4-way select tree, one gather per row
-          pk = jnp.zeros((_SUB, _LANES), jnp.int32)
-          for r in range(4):
-              prow = jnp.broadcast_to(lut_scr[c, r, :], (_SUB, _LANES))
-              gp = jnp.take_along_axis(prow, ilo, axis=1)
-              pk = jnp.where(ihi == r, gp, pk)
+          # one gather from the 128-entry RAW quadrant-0 pair table;
+          # quadrants 1-3 derive with exact identities: q1 = swap halves
+          # + complement low, q2 = complement both, q3 = swap halves +
+          # complement high (complements are around 1026 = 2 + 2*512,
+          # the half-wave offset plus twice the pair bias)
+          rawrow = jnp.broadcast_to(rawtab_ref[0, :], (_SUB, _LANES))
+          praw = jnp.take_along_axis(rawrow, ilo, axis=1)
+          rot = jax.lax.shift_left(praw, jnp.int32(16)) | \
+              jax.lax.shift_right_logical(praw, jnp.int32(16))
+          rot_lo2 = jax.lax.shift_left(rot & jnp.int32(0xFFFF), jnp.int32(1))
+          rotL = rot + (jnp.int32(1026) - rot_lo2)
+          rotH = rot + (jnp.int32(1026 << 16) -
+                        jax.lax.shift_left(rot, jnp.int32(1)) + rot_lo2)
+          comp = jnp.int32(1026 | (1026 << 16)) - praw
+          m7 = -(ihi & jnp.int32(1))
+          m8 = -jax.lax.shift_right_logical(itab, jnp.int32(8))
+          x = praw + ((rotL - praw) & m7)
+          y = comp + ((rotH - comp) & m7)
+          p = x + ((y - x) & m8)
+          # the reference's hand-written tables break the identities at
+          # exactly one entry: cos[384] = 0, not 2 - cos[128] = 1
+          p = p - (itab == jnp.int32(384)).astype(jnp.int32)
+
+          # per-sample gain scaling, identical expression to the old
+          # per-block scratch build: trunc(f32(T) * f32(gain))
+          g = getf(_F_GAIN, c)
+          tc = (p & jnp.int32(0xFFFF)) - jnp.int32(512)
+          ts = jax.lax.shift_right_logical(p, jnp.int32(16)) - jnp.int32(512)
+          iv = (tc.astype(jnp.float32) * g).astype(jnp.int32)
+          qv = (ts.astype(jnp.float32) * g).astype(jnp.int32)
+          u = (iv + jnp.int32(1024)) | \
+              jax.lax.shift_left(qv + jnp.int32(1024), jnp.int32(16))
 
           # spreading sign (chip XOR nav): both biased halves negate
-          # around the bias, BIAS2 - entry, with no cross-half borrow
+          # around the bias, BIAS2 - u, with no cross-half borrow
           # (halves are in [0, 2048]); mask-and form beats jnp.where
           # on the VPU (no predicate registers needed)
           m = -(cbit ^ nbit)
-          acc_scr[0] += pk + ((jnp.int32(2048 | (2048 << 16)) -
-                               jax.lax.shift_left(pk, jnp.int32(1))) & m)
+          acc_scr[0] += u + ((jnp.int32(2048 | (2048 << 16)) -
+                              jax.lax.shift_left(u, jnp.int32(1))) & m)
 
     # epilogue: un-bias both halves, emit I/Q
     bias = nact * jnp.int32(1024)
@@ -210,8 +233,7 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
             pl.BlockSpec((1, _C, 1, _LANES),
                          lambda b, t, sf_map: (sf_map[b], 0, 0, 0),
                          memory_space=pltpu.VMEM),       # C/A bit tables
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # costab [4,128]
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # sintab [4,128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # raw pairs [1,128]
         ],
         out_specs=(pl.BlockSpec((1, 1, _SUB, _LANES),
                                 lambda b, t, sf_map: (b, t, 0, 0),
@@ -221,7 +243,6 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
                                       memory_space=pltpu.VMEM)
                          for _ in range(2))),
         scratch_shapes=[
-            pltpu.VMEM((_C, 4, _LANES), jnp.int32),
             pltpu.VMEM((1, _SUB, _LANES), jnp.int32),
         ],
     )
@@ -308,8 +329,11 @@ def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:
     return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
 
-_COSTAB = COS_TABLE_512.reshape(4, _LANES).astype(np.int32)
-_SINTAB = SIN_TABLE_512.reshape(4, _LANES).astype(np.int32)
+# quadrant-0 raw pair table: (cos[j]+512) | (sin[j]+512)<<16, j in [0,128)
+_RAWTAB = ((((np.asarray(COS_TABLE_512[:128], np.int64) + 512)
+             | ((np.asarray(SIN_TABLE_512[:128], np.int64) + 512) << 16))
+            & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+           .reshape(1, _LANES))
 
 
 def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
@@ -328,7 +352,7 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),
-            jnp.asarray(_COSTAB), jnp.asarray(_SINTAB)]
+            jnp.asarray(_RAWTAB)]
     if device is not None:
         args = [jax.device_put(a, device) for a in args]
     # all kernel dtypes are 32-bit; x64 (needed by the epoch path) must be
