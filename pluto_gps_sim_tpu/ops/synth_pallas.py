@@ -172,18 +172,18 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           # the half-wave offset plus twice the pair bias)
           rawrow = jnp.broadcast_to(rawtab_ref[0, :], (_SUB, _LANES))
           praw = jnp.take_along_axis(rawrow, ilo, axis=1)
+          # quadrants factor: q2 = C - q0 and q3 = C - q1 (C = 1026 per
+          # half), so select q0/q1 by bit7 first, then complement both
+          # halves by bit8 uniformly
           rot = jax.lax.shift_left(praw, jnp.int32(16)) | \
               jax.lax.shift_right_logical(praw, jnp.int32(16))
-          rot_lo2 = jax.lax.shift_left(rot & jnp.int32(0xFFFF), jnp.int32(1))
-          rotL = rot + (jnp.int32(1026) - rot_lo2)
-          rotH = rot + (jnp.int32(1026 << 16) -
-                        jax.lax.shift_left(rot, jnp.int32(1)) + rot_lo2)
-          comp = jnp.int32(1026 | (1026 << 16)) - praw
+          rotL = rot + (jnp.int32(1026) -
+              jax.lax.shift_left(rot & jnp.int32(0xFFFF), jnp.int32(1)))
           m7 = -(ihi & jnp.int32(1))
           m8 = -jax.lax.shift_right_logical(itab, jnp.int32(8))
           x = praw + ((rotL - praw) & m7)
-          y = comp + ((rotH - comp) & m7)
-          p = x + ((y - x) & m8)
+          p = x + ((jnp.int32(1026 | (1026 << 16)) -
+                    jax.lax.shift_left(x, jnp.int32(1))) & m8)
           # the reference's hand-written tables break the identities at
           # exactly one entry: cos[384] = 0, not 2 - cos[128] = 1
           p = p - (itab == jnp.int32(384)).astype(jnp.int32)
