@@ -336,6 +336,37 @@ _RAWTAB = ((((np.asarray(COS_TABLE_512[:128], np.int64) + 512)
            .reshape(1, _LANES))
 
 
+def _check_quadrant_identities() -> None:
+    """The kernel reconstructs all 512 LUT entries from the 128-entry
+    quadrant-0 table via exact identities of the reference's hand-written
+    int tables (cos[128+j] = 2-sin[j], sin[128+j] = cos[j], half-wave
+    x[256+i] = 2-x[i]) plus the single cos[384] exception.  Assert the
+    full reconstruction at import time so any table regeneration that
+    breaks the identities fails loudly instead of silently degrading
+    bit-exactness."""
+    raw = _RAWTAB.reshape(-1).view(np.uint32).astype(np.int64)
+    want = (((np.asarray(COS_TABLE_512, np.int64) + 512)
+             | ((np.asarray(SIN_TABLE_512, np.int64) + 512) << 16))
+            & 0xFFFFFFFF)
+    got = np.empty(512, np.int64)
+    for itab in range(512):
+        j = itab & 127
+        p = raw[j]
+        if (itab >> 7) & 1:                      # swap + complement low
+            rot = ((p << 16) | (p >> 16)) & 0xFFFFFFFF
+            p = (rot + 1026 - 2 * (rot & 0xFFFF)) & 0xFFFFFFFF
+        if itab >> 8:                            # half-wave complement
+            p = ((1026 | (1026 << 16)) - p) & 0xFFFFFFFF
+        if itab == 384:                          # hand-written exception
+            p = (p - 1) & 0xFFFFFFFF
+        got[itab] = p
+    assert np.array_equal(got, want), \
+        "sin/cos tables no longer satisfy the kernel's quadrant identities"
+
+
+_check_quadrant_identities()
+
+
 def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         sf_map: np.ndarray, block_samples: int,
                         device=None, packed: bool = True,
