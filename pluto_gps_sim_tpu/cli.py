@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import signal
 import sys
 import time
@@ -62,7 +63,9 @@ def parse_cli(argv: list[str] | None = None) -> argparse.Namespace:
     while i < len(argv):
         a = argv[i]
         if a in _VALUE_FLAGS and i + 1 < len(argv) and \
-                argv[i + 1].startswith("-"):
+                re.match(r"-[\d.]", argv[i + 1]):
+            # merge only when the next token is a negative NUMBER
+            # ("-A -30"); "-c -l" stays two flags and errors cleanly
             merged.append(a + argv[i + 1])
             i += 2
         else:
@@ -181,14 +184,21 @@ def main(argv: list[str] | None = None) -> int:
         xyz = read_user_motion(args.umfile)
         print("Using user motion mode.", file=sys.stderr)
     else:
-        if args.ecef:
-            xyz = np.array([float(v) for v in args.ecef.split(",")],
-                           dtype=np.float64)
-        else:
-            if args.llh:
+        try:
+            if args.ecef:
+                xyz = np.array([float(v) for v in args.ecef.split(",")],
+                               dtype=np.float64)
+                if xyz.shape != (3,):
+                    raise ValueError(args.ecef)
+            elif args.llh:
                 lat, lon, hgt = (float(v) for v in args.llh.split(","))
             else:  # reference default (Tokyo), converted properly
                 lat, lon, hgt = 35.681298, 139.766247, 10.0
+        except ValueError:
+            print("ERROR: Invalid location (expected three comma-separated "
+                  "numbers).", file=sys.stderr)
+            return 1
+        if not args.ecef:
             xyz = np.asarray(llh2xyz(
                 np.array([lat / R2D, lon / R2D, hgt])))
         print("Using static location mode.", file=sys.stderr)
@@ -317,34 +327,25 @@ def main(argv: list[str] | None = None) -> int:
     produced = 0
     t_start = time.time()
     try:
-        while not stop["flag"]:
-            todo = 300 if n_blocks_total is None else \
-                min(300, n_blocks_total - produced)
-            if todo <= 0:
-                break
-            plan_blocks = 0
-            for sf in stream.superframes(todo):
-                try:
-                    sink.write(sf)
-                except (BrokenPipeError, IOError) as e:
-                    # consumer went away (pipe closed, SDR unplugged,
-                    # ring-writer I/O error): stop cleanly, like the
-                    # reference's TX-failure exit flag (c:2182)
-                    print(f"\nOutput closed ({e}); stopping.",
-                          file=sys.stderr)
-                    stop["flag"] = True
-                    break
-                plan_blocks += sf.shape[0]
-                if stop["flag"]:
-                    break
-            if plan_blocks == 0:
-                break
-            produced += plan_blocks
+        # one generator end-to-end: superframes() software-pipelines the
+        # host plan / device synthesis / D2H across superframes
+        for sf in stream.superframes(n_blocks_total):
+            try:
+                sink.write(sf)
+            except (BrokenPipeError, IOError) as e:
+                # consumer went away (pipe closed, SDR unplugged,
+                # ring-writer I/O error): stop cleanly, like the
+                # reference's TX-failure exit flag (c:2182)
+                print(f"\nOutput closed ({e}); stopping.", file=sys.stderr)
+                stop["flag"] = True
+            produced += sf.shape[0]
             if args.verbose:
                 el = time.time() - t_start
                 print(f"\rTime = {produced / 10.0:4.1f}s "
                       f"({produced / 10.0 / max(el, 1e-9):.0f}x real time)",
                       end="", file=sys.stderr)
+            if stop["flag"]:
+                break
         if args.verbose:
             print(file=sys.stderr)
     finally:

@@ -123,7 +123,10 @@ void *consumer_main(void *arg) {
                 rw->consumer_waits.fetch_add(1, std::memory_order_relaxed);
                 deadline = t;  // resync after a stall
             }
-            deadline += rw->chunk_ns * ((n + rw->chunk_bytes - 1) / rw->chunk_bytes);
+            // advance proportionally to bytes actually emitted, so
+            // sustained partial-chunk pops still pace to bytes_per_sec
+            deadline += uint64_t(double(n) * double(rw->chunk_ns) /
+                                 double(rw->chunk_bytes));
         }
 
         bool ok = true;
