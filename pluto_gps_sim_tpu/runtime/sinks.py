@@ -120,10 +120,15 @@ class UdpSink:
 class IioSink:
     """Optional ADALM-Pluto bridge through a libiio Python binding.
 
-    Mirrors the reference's PHY setup (plutogpssim.c:2095-2141): TX LO at
-    L1 1575.42 GHz, fs, RF bandwidth, hardware gain, port A.  Import is
-    deferred and failure is a clean error — SDR hardware is an optional
-    extra, never a framework dependency.
+    Mirrors the reference's PHY setup and LO power sequencing
+    (plutogpssim.c:2095-2141): 12 kernel buffers, port A, RF bandwidth,
+    fs, hardware gain on the voltage0 PHY channel, RX LO (altvoltage0)
+    powered down, TX LO (altvoltage1) tuned to L1 1575.42 MHz, I/Q TX
+    channels enabled; the TX LO is powered UP only after the first
+    stream buffer exists (c:2139-2141) and powered back DOWN at teardown
+    (c:2162-2165) so the SDR never radiates an unmodulated carrier.
+    Import is deferred and failure is a clean error — SDR hardware is an
+    optional extra, never a framework dependency.
     """
 
     def __init__(self, fs: float, bw_hz: float, gain_db: float,
@@ -144,16 +149,24 @@ class IioSink:
             self.ctx = iio.Context()
         phy = self.ctx.find_device("ad9361-phy")
         tx = self.ctx.find_device("cf-ad9361-dds-core-lpc")
-        phy.find_channel("RX_LO", True).attrs["powerdown"].value = "1"
-        lo = phy.find_channel("TX_LO", True)
-        lo.attrs["frequency"].value = str(int(lo_hz))
+        if phy is None or tx is None:
+            raise RuntimeError("PlutoSDR devices not found in IIO context")
+        # additional IQ kernel buffers, default is 4 (c:2103)
+        if hasattr(tx, "set_kernel_buffers_count"):
+            tx.set_kernel_buffers_count(12)
         ch = phy.find_channel("voltage0", True)
         ch.attrs["rf_port_select"].value = "A"
         ch.attrs["rf_bandwidth"].value = str(int(bw_hz))
         ch.attrs["sampling_frequency"].value = str(int(fs))
-        ch.attrs["hardwaregain"].value = str(gain_db)
-        self._i = tx.find_channel("voltage0", True)
-        self._q = tx.find_channel("voltage1", True)
+        ch.attrs["hardwaregain"].value = str(float(gain_db))
+        # RX LO off, TX LO tuned but still powered down (c:2112-2118)
+        phy.find_channel("altvoltage0", True).attrs["powerdown"].value = "1"
+        self._tx_lo = phy.find_channel("altvoltage1", True)
+        self._tx_lo.attrs["frequency"].value = str(int(lo_hz))
+        self._i = tx.find_channel("voltage0", True) or \
+            tx.find_channel("altvoltage0", True)
+        self._q = tx.find_channel("voltage1", True) or \
+            tx.find_channel("altvoltage1", True)
         self._i.enabled = True
         self._q.enabled = True
         self._iio = iio
@@ -165,13 +178,24 @@ class IioSink:
         data = _as_bytes(block)
         n = data.size // 2
         if self._buf is None or self._buf_len != n:
+            first = self._buf is None
             self._buf = self._iio.Buffer(self._tx, n, False)
             self._buf_len = n
+            if first:  # TX LO up once the stream buffer exists (c:2139)
+                self._tx_lo.attrs["powerdown"].value = "0"
         self._buf.write(bytearray(data.tobytes()))
         self._buf.push()
         self.bytes_written += data.nbytes
 
     def close(self) -> None:
+        if self.ctx is not None:
+            try:  # TX LO down before teardown (c:2162-2165)
+                self._tx_lo.attrs["powerdown"].value = "1"
+                self._i.enabled = False
+                self._q.enabled = False
+            except Exception:
+                pass  # context already gone; nothing left to power down
+        self._buf = None
         self.ctx = None
 
     def __enter__(self):
