@@ -33,6 +33,7 @@ from ..constants import (
     LAMBDA_L1,
     PATH_LOSS_NUMERATOR,
     R2D,
+    SECONDS_IN_WEEK,
     SPEED_OF_LIGHT,
 )
 from ..models import orbits
@@ -58,14 +59,15 @@ def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
 
 @cpu_jit
 def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
-                     rho_el: jnp.ndarray, t_rel: jnp.ndarray,
-                     g0_offset: jnp.ndarray, dt: float):
+                     rho_el: jnp.ndarray,
+                     g_secs: jnp.ndarray, g_weeks: jnp.ndarray,
+                     g0_sec: jnp.ndarray, g0_week: jnp.ndarray, dt: float):
     """Per-block channel parameters from consecutive range pairs.
 
     Inputs are per-channel gathers over the epoch grid:
       rho_range [n_epochs, C] pseudoranges, rho_d / rho_el likewise,
-      t_rel [n_epochs] epoch seconds relative to the superframe start,
-      g0_offset [C] = (superframe start - data-bit reference g0) seconds.
+      g_secs/g_weeks [n_epochs] epoch GPS time (seconds-of-week, week),
+      g0_sec/g0_week [C] each channel's data-bit reference time.
     Block k (k in [0, n_epochs-1)) uses epochs k (anchor) and k+1.
 
     Returns dict of [n_blocks, C]: f_carr, f_code, code_phase, iword,
@@ -76,8 +78,15 @@ def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
     f_carr = -rhorate / LAMBDA_L1
     f_code = CODE_FREQ + f_carr * CARR_TO_CODE
 
-    # ms since data-bit reference (+1 subframe), minus range latency
-    t_anchor = t_rel[:-1][:, None] + g0_offset[None, :]
+    # ms since data-bit reference (+1 subframe), minus range latency.
+    # t_anchor MUST be the single-rounding subGpsTime(rho0.g, g0) tree
+    # (fl(sec diff) + week diff * 604800, c:838-845/1767): computing it
+    # as (t_k - t_0) + (t_0 - g0) instead costs ~ulp(3000 s) = 4.5e-13 s
+    # = ~5e-7 chips of anchor offset, which lands a chip transition on
+    # the wrong sample ~0.1 times per block — a full-amplitude sample
+    # error that caps long-run SNR near 70 dB (round-2 root cause).
+    t_anchor = (g_secs[:-1, None] - g0_sec[None, :]) + \
+        (g_weeks[:-1, None] - g0_week[None, :]) * SECONDS_IN_WEEK
     ms = ((t_anchor + 6.0) - rho0 / SPEED_OF_LIGHT) * 1000.0
     ims = ms.astype(jnp.int32)          # C (int) truncation (ms >= 0 here)
     code_phase = (ms - ims) * CA_SEQ_LEN
@@ -104,20 +113,20 @@ def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
 
 
 def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
-                     g_secs: np.ndarray, t_rel: np.ndarray,
+                     g_secs: np.ndarray, g_weeks: np.ndarray,
                      rx_pos: np.ndarray,
                      sv_idx: np.ndarray, active: np.ndarray,
-                     g0_offset: np.ndarray, rho0_range: np.ndarray,
+                     g0_sec: np.ndarray, g0_week: np.ndarray,
+                     rho0_range: np.ndarray,
                      dt: float = 0.1):
     """Full epoch solve for one superframe.
 
-    g_secs [n_epochs]: epoch grid t_0..t_M seconds-of-week (t_0 = anchor
+    g_secs/g_weeks [n_epochs]: epoch grid t_0..t_M GPS time (t_0 = anchor
       carried from the previous superframe / allocation).
-    t_rel [n_epochs]: week-aware seconds since t_0 (g_secs alone is
-      ambiguous across GPS week rollovers).
     rx_pos [n_epochs, 3], sv_idx [C] satellite index per channel (0-based,
-      arbitrary for inactive channels), active [C] bool, g0_offset [C]
-      seconds from each channel's data-bit reference time to t_0,
+      arbitrary for inactive channels), active [C] bool, g0_sec/g0_week
+      [C] each channel's data-bit reference time (inactive slots must
+      hold a sane nearby time so masked lanes stay finite),
       rho0_range [C] override pseudorange anchor at t_0 (carried across
       superframes / from allocation, possibly computed with the previous
       ephemeris set at rollovers — reference c:2774-2790 semantics).
@@ -134,8 +143,10 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
     rng = rng.copy()
     rng[0] = np.where(active, rho0_range, rng[0])
     params = ranges_to_params(jnp.asarray(rng), jnp.asarray(d),
-                              jnp.asarray(el), jnp.asarray(t_rel),
-                              jnp.asarray(g0_offset), dt)
+                              jnp.asarray(el), jnp.asarray(g_secs),
+                              jnp.asarray(g_weeks, dtype=np.float64),
+                              jnp.asarray(g0_sec),
+                              jnp.asarray(g0_week, dtype=np.float64), dt)
     params = {k: np.asarray(v) for k, v in params.items()}
     params["active"] = np.broadcast_to(active, params["f_carr"].shape).copy()
     params["azel"] = azel[1:]  # per-block az/el (epoch k+1), for logging

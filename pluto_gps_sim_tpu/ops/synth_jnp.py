@@ -18,10 +18,16 @@ mixing to the reference.
 
 Two precision strategies:
   * precise (f64 ramps): for CPU golden runs & tests (TPU has no f64);
-  * tiled   (int32 Q12 code NCO + f32 carrier, per-tile f64 anchors
-    computed host-side): the TPU production path.  Code-phase precision
-    ~1.2e-7 chips, carrier ~1e-6 cycles — error orders of magnitude
-    below the reference's own int16 truncation noise floor.
+  * tiled   (same four-level integer NCOs as the Pallas kernel —
+    Q12+Q24+Q36+f32 code, u32+f32 carrier — on per-tile f64 anchors
+    computed host-side): the XLA fallback path.  Code-phase truncation
+    2^-36 chips = 1.5e-11 (the f64 closed form's own rounding floor),
+    carrier ~1e-9 cycles.  Fewer levels are NOT enough: a two-level
+    (Q12+f32) code NCO jitters chip edges by ~1.2e-7 chips (~0.1
+    full-amplitude sample flips per 300k-sample block; the round-1
+    "rollover cliff" was exactly this, scattered uniformly over every
+    long tiled run), and even the Q24 truncation at 6e-8 chips still
+    flipped ~0.03 samples/block.
 
 Channel masking: inactive channels get zeroed gain tables and zeroed
 parameters, so slots stay static-shape (jit-stable) and contribute 0.
@@ -39,7 +45,8 @@ from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
 __all__ = ["DevicePlan", "pack_plan", "synth_superframe_precise",
-           "synth_superframe_tiled", "TILE"]
+           "synth_superframe_tiled", "synth_superframe_tiled_async",
+           "TILE"]
 
 TILE = 2048  # samples per tile (16 sublanes x 128 lanes at int32/f32)
 
@@ -65,13 +72,17 @@ class DevicePlan:
     gain: np.ndarray        # [M, C] f64 signal gain (for in-kernel LUTs)
     qcos_pm: np.ndarray     # [M, C, 1024] int32  +-trunc(cos*gain)
     qsin_pm: np.ndarray     # [M, C, 1024] int32
-    # tiled-path anchors
-    v_q12: np.ndarray       # [M, C] int32  floor(v*4096)
-    r4096: np.ndarray       # [M, C] f32    (v - v_q12/4096)*4096
-    u_f32: np.ndarray       # [M, C] f32
-    code_base: np.ndarray   # [M, C, nt] int32  floor(P at tile start)
-    code_fq12: np.ndarray   # [M, C, nt] f32    frac(P)*4096 at tile start
-    carr_base: np.ndarray   # [M, C, nt] f32    frac(carrier) at tile start
+    # tiled-path NCO levels (per channel) and per-tile f64-exact anchors
+    v_q12: np.ndarray       # [M, C] int32  floor(v*4096)         Q12/sample
+    r24: np.ndarray         # [M, C] int32  Q24 code step/sample
+    r36: np.ndarray         # [M, C] int32  Q36 code step/sample
+    rrr: np.ndarray         # [M, C] f32    Q36 fourth-level residual/sample
+    step_u32: np.ndarray    # [M, C] int32  carrier u32 step/sample
+    stepres: np.ndarray     # [M, C] f32    carrier step residual (u32 units)
+    code_q12: np.ndarray    # [M, C, nt] int32  floor(P*4096) at tile start
+    code_q24: np.ndarray    # [M, C, nt] int32  Q24 fraction at tile start
+    code_q36: np.ndarray    # [M, C, nt] int32  Q36 fraction at tile start
+    carr_u32: np.ndarray    # [M, C, nt] int32  u32 phase at tile start
 
 
 def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
@@ -103,30 +114,50 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
         # per-tile anchors (f64 on host; in-tile device math f32/int32)
         tj = (np.arange(nt, dtype=np.float64) * tile)[None, None, :]
         P_t = cp0[..., None] + v[..., None] * tj
-        code_base = np.floor(P_t).astype(np.int32)
-        code_fq12 = ((P_t - np.floor(P_t)) * 4096.0).astype(np.float32)
+        pq = P_t * 4096.0
+        code_q12 = np.floor(pq)
+        f12 = (pq - code_q12) * 4096.0
+        code_q24 = np.floor(f12)
+        code_q36 = np.floor((f12 - code_q24) * 4096.0).astype(np.int32)
+        code_q24 = code_q24.astype(np.int32)
+        code_q12 = code_q12.astype(np.int32)
         carr_t = c0[..., None] + u[..., None] * tj
-        carr_base = (carr_t - np.floor(carr_t)).astype(np.float32)
+        carr_u32 = (np.round((carr_t - np.floor(carr_t)) * 2.0**32)
+                    .astype(np.int64) & 0xFFFFFFFF)
+        carr_u32 = carr_u32.astype(np.uint32).view(np.int32)
     else:
         z = np.zeros((M, C, 0), np.int32)
         qcos_pm = qsin_pm = z
-        code_base = z
-        code_fq12 = carr_base = np.zeros((M, C, 0), np.float32)
+        code_q12 = code_q24 = code_q36 = carr_u32 = z
 
     v_q12 = np.floor(v * 4096.0).astype(np.int32)
-    r4096 = ((v - v_q12 / 4096.0) * 4096.0).astype(np.float32)
+    r4 = v * 4096.0 - v_q12                    # Q12 residual per sample
+    r24 = np.floor(r4 * 4096.0)
+    r4b = r4 * 4096.0 - r24                    # Q24 fraction in [0, 1)
+    r36 = np.floor(r4b * 4096.0)
+    rrr = ((r4b - r36 / 4096.0) * 4096.0).astype(np.float32)
+    r24 = r24.astype(np.int32)
+    r36 = r36.astype(np.int32)
 
-    # Q12 int32 overflow guard: chips*4096 must stay below 2^31
+    step_exact = (u - np.floor(u)) * 2.0**32
+    step = np.round(step_exact).astype(np.int64)
+    step_u32 = (step & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    stepres = (step_exact - step).astype(np.float32)
+
+    # Q12 int32 overflow guard: chips*4096 must stay below 2^31 (a 0.1 s
+    # block is always ~102.3k chips, so this holds at any fs)
     assert float((cp0 + np.abs(v) * N).max(initial=0.0)) * 4096 < 2**31, \
-        "block too long for Q12 code NCO (raise tile precision)"
+        "block spans too many chips for the Q12 code NCO"
 
     return DevicePlan(
         n_blocks=M, block_samples=N, n_tiles=nt,
         ca2=plan.ca2, bits=plan.bits, active=act,
         u=u, v=v, c0=c0, cp0=cp0, b0=b0, ic0=ic0, gain=gain,
         qcos_pm=qcos_pm, qsin_pm=qsin_pm,
-        v_q12=v_q12, r4096=r4096, u_f32=u.astype(np.float32),
-        code_base=code_base, code_fq12=code_fq12, carr_base=carr_base,
+        v_q12=v_q12, r24=r24, r36=r36, rrr=rrr,
+        step_u32=step_u32, stepres=stepres,
+        code_q12=code_q12, code_q24=code_q24, code_q36=code_q36,
+        carr_u32=carr_u32,
     )
 
 
@@ -191,23 +222,33 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
                      tile: int = TILE):
     """Build a jitted superframe synthesizer for fixed shapes.
 
-    Returns fn(ca2, bits, v_q12, r4096, u_f32, b0, ic0, code_base,
-               code_fq12, carr_base, qcos_pm, qsin_pm) -> int16 [M, N, 2]
+    Returns fn(ca2, bits, v_q12, r24, r36, rrr, step_u32, stepres, b0,
+               ic0, code_q12, code_q24, code_q36, carr_u32, qcos_pm,
+               qsin_pm) -> int16 [M, N, 2].
+
+    NCOs are the Pallas kernel's four-level scheme (synth_pallas.py) on
+    per-tile f64-exact anchors, so in-tile n <= tile keeps every level
+    far inside its range: carrier = u32 ramp + f32 step residual
+    (~1e-9 cycles), code = Q12 + Q24 + Q36 integer ramps + f32 fourth
+    level (truncation 2^-36 chips = 1.5e-11, the f64 closed form's own
+    rounding floor; chip-boundary jitter vanishes).
     """
     jf = jnp.arange(tile, dtype=jnp.float32)
     ji = jnp.arange(tile, dtype=jnp.int32)
+    shr = jax.lax.shift_right_logical
 
-    def chan_tile(vq, r4, uf, b0, ic0, cbase, cfq12, carrb, ca2_c, bits_c,
-                  qc, qs):
-        # carrier: f32 in-tile ramp on a per-tile f64 anchor
-        ph = carrb + uf * jf
-        ph = ph - jnp.floor(ph)
-        itab = (ph * 512.0).astype(jnp.int32)
+    def chan_tile(vq, r24, r36, rrr, su32, sres, b0, ic0, cq12, cq24,
+                  cq36, cu32, ca2_c, bits_c, qc, qs):
+        # carrier: u32 NCO (int32 wraparound) + f32 residual;
+        # logical shift leaves exactly 9 index bits (c:2697 semantics)
+        ph = cu32 + su32 * ji + (sres * jf).astype(jnp.int32)
+        itab = shr(ph, jnp.int32(23))
 
-        # code: exact Q12 integer NCO + f32 residual
-        rq = cfq12 + r4 * jf                      # f32, < ~6200
-        tq = cbase * 4096 + vq * ji + rq.astype(jnp.int32)
-        chip = tq >> 12
+        # code: Q12 + Q24 + Q36 integer ramps + f32 fourth-level residual
+        rq36 = cq36 + r36 * ji + (rrr * jf).astype(jnp.int32)
+        rq24 = cq24 + r24 * ji + shr(rq36, jnp.int32(12))
+        tq = cq12 + vq * ji + shr(rq24, jnp.int32(12))
+        chip = shr(tq, jnp.int32(12))
         w = chip // CA_SEQ_LEN
         cidx = chip - w * CA_SEQ_LEN
         bidx = b0 + (ic0 + w) // 20
@@ -216,43 +257,57 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
 
     # vmap over tiles, then channels
     tiles_chan = jax.vmap(chan_tile,
-                          in_axes=(None, None, None, None, None, 0, 0, 0,
+                          in_axes=(None, None, None, None, None, None,
+                                   None, None, 0, 0, 0, 0,
                                    None, None, None, None))
 
-    def block(vq, r4, uf, b0, ic0, cbase, cfq12, carrb, ca2, bits, qc, qs):
-        def chan(vq_c, r4_c, uf_c, b0_c, ic0_c, cb_c, cf_c, ca_c,
-                 ca2_c, bits_c, qc_c, qs_c):
-            return tiles_chan(vq_c, r4_c, uf_c, b0_c, ic0_c, cb_c, cf_c,
-                              ca_c, ca2_c, bits_c, qc_c, qs_c)
-        ivals, qvals = jax.vmap(chan)(vq, r4, uf, b0, ic0, cbase, cfq12,
-                                      carrb, ca2, bits, qc, qs)
+    def block(vq, r24, r36, rrr, su32, sres, b0, ic0, cq12, cq24, cq36,
+              cu32, ca2, bits, qc, qs):
+        def chan(vq_c, r24_c, r36_c, rrr_c, su_c, sr_c, b0_c, ic0_c,
+                 cq12_c, cq24_c, cq36_c, cu_c, ca2_c, bits_c, qc_c, qs_c):
+            return tiles_chan(vq_c, r24_c, r36_c, rrr_c, su_c, sr_c, b0_c,
+                              ic0_c, cq12_c, cq24_c, cq36_c, cu_c, ca2_c,
+                              bits_c, qc_c, qs_c)
+        ivals, qvals = jax.vmap(chan)(vq, r24, r36, rrr, su32, sres, b0,
+                                      ic0, cq12, cq24, cq36, cu32, ca2,
+                                      bits, qc, qs)
         # [C, nt, tile] -> sum channels -> [nt*tile] -> [N]
         i_acc = jnp.sum(ivals, axis=0).reshape(-1)[:block_samples]
         q_acc = jnp.sum(qvals, axis=0).reshape(-1)[:block_samples]
         return jnp.stack([i_acc, q_acc], axis=-1).astype(jnp.int16)
 
-    def superframe(ca2, bits, v_q12, r4096, u_f32, b0, ic0,
-                   code_base, code_fq12, carr_base, qcos_pm, qsin_pm):
+    def superframe(ca2, bits, v_q12, r24, r36, rrr, step_u32, stepres,
+                   b0, ic0, code_q12, code_q24, code_q36, carr_u32,
+                   qcos_pm, qsin_pm):
         def one(args):
-            vq, r4, uf, b0_, ic0_, cb, cf, ca, qc, qs = args
-            return block(vq, r4, uf, b0_, ic0_, cb, cf, ca, ca2, bits,
-                         qc, qs)
-        return jax.lax.map(one, (v_q12, r4096, u_f32, b0, ic0,
-                                 code_base, code_fq12, carr_base,
-                                 qcos_pm, qsin_pm))
+            (vq, r24_, r36_, rrr_, su, sr, b0_, ic0_, c12, c24, c36, cu,
+             qc, qs) = args
+            return block(vq, r24_, r36_, rrr_, su, sr, b0_, ic0_, c12,
+                         c24, c36, cu, ca2, bits, qc, qs)
+        return jax.lax.map(one, (v_q12, r24, r36, rrr, step_u32, stepres,
+                                 b0, ic0, code_q12, code_q24, code_q36,
+                                 carr_u32, qcos_pm, qsin_pm))
 
     return jax.jit(superframe)
 
 
 def synth_superframe_tiled(dp: DevicePlan, device=None) -> np.ndarray:
     """Tiled-path synthesis -> int16 [M, N, 2] (any backend)."""
+    return np.asarray(synth_superframe_tiled_async(dp, device=device))
+
+
+def synth_superframe_tiled_async(dp: DevicePlan, device=None):
+    """Tiled-path synthesis, returned as an asynchronously-computing
+    device array (jax dispatch is async; np.asarray blocks on it)."""
     fn = make_synth_tiled(dp.n_blocks, dp.block_samples, dp.n_tiles)
     args = [jnp.asarray(dp.ca2, jnp.int32), jnp.asarray(dp.bits, jnp.int32),
-            jnp.asarray(dp.v_q12), jnp.asarray(dp.r4096),
-            jnp.asarray(dp.u_f32), jnp.asarray(dp.b0), jnp.asarray(dp.ic0),
-            jnp.asarray(dp.code_base), jnp.asarray(dp.code_fq12),
-            jnp.asarray(dp.carr_base), jnp.asarray(dp.qcos_pm),
-            jnp.asarray(dp.qsin_pm)]
+            jnp.asarray(dp.v_q12), jnp.asarray(dp.r24),
+            jnp.asarray(dp.r36), jnp.asarray(dp.rrr),
+            jnp.asarray(dp.step_u32), jnp.asarray(dp.stepres),
+            jnp.asarray(dp.b0), jnp.asarray(dp.ic0),
+            jnp.asarray(dp.code_q12), jnp.asarray(dp.code_q24),
+            jnp.asarray(dp.code_q36), jnp.asarray(dp.carr_u32),
+            jnp.asarray(dp.qcos_pm), jnp.asarray(dp.qsin_pm)]
     if device is not None:
         args = [jax.device_put(a, device) for a in args]
-    return np.asarray(fn(*args))
+    return fn(*args)

@@ -8,11 +8,14 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
             phase = phase0_u32 + step_u32*n + round_res(n); LUT index =
             phase >> 23 replicates floor(carr_phase*512) (c:2697) to
             ~1e-9 cycles
-  code      three-level integer NCO:
-            chips*4096 = cp0_q12 + v_q12*n
-                       + ((res0_q24 + r_q24*n + trunc(rr*n)) >> 12)
-            Q12 + Q24 exact integer ramps + f32 third-level residual
-            (~1e-9 chip precision; chip-boundary jitter vanishes)
+  code      four-level integer NCO:
+            chips*4096 = cp0_q12 + v_q12*n + ((res0_q24 + r24*n
+                       + ((res0_q36 + r36*n + trunc(rrr*n)) >> 12)) >> 12)
+            Q12 + Q24 + Q36 exact integer ramps + f32 fourth-level
+            residual; truncation sits at 2^-36 chips = 1.5e-11, the
+            f64 closed form's own rounding floor (Q24-level truncation
+            at 6e-8 chips still flipped a chip-edge sample ~0.03x per
+            block — a full-amplitude error worth ~30 dB on that block)
   nav bits  folded into a per-(block,channel) 32-bit mask indexed by
             q = (icode0 + code_periods)//20 — zero gathers (c:2732)
   C/A chips bit-packed: 1023 chips -> 32 uint32 words in one 128-lane
@@ -89,7 +92,8 @@ _C = MAX_CHAN
 # separate planes (Mosaic has no scalar bitcast)
 _P_PHASE0, _P_STEP, _P_CP0Q, _P_VQ, _P_NBM, _P_IC0 = 0, 12, 24, 36, 48, 60
 _P_RES0Q24, _P_R24 = 72, 84
-_F_STEPRES, _F_RR, _F_GAIN = 0, 12, 24
+_P_RES0Q36, _P_R36 = 96, 108
+_F_STEPRES, _F_RRR, _F_GAIN = 0, 12, 24
 
 # 1/1023 rounded UP in f32: trunc(chip * _INV1023) == chip // 1023 exactly
 # for 0 <= chip < 600_000 (verified exhaustively; max chip under
@@ -138,9 +142,17 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
           ilo = itab & jnp.int32(127)
 
-          # code NCO: Q12 + Q24 integer ramps + f32 third-level residual
+          # code NCO: Q12 + Q24 + Q36 integer ramps + f32 fourth-level
+          # residual.  Three levels are NOT enough: the Q24 truncation
+          # quantizes the chip position to 2^-24 chips = 6e-8, which
+          # lands a chip transition on the wrong sample ~0.03 times per
+          # 300k-sample block (a full-amplitude error, ~55 dB for the
+          # block); the Q36 level pushes truncation to 1.5e-11 chips,
+          # at the f64 closed form's own rounding floor.
+          rq36 = geti(_P_RES0Q36, c) + geti(_P_R36, c) * n \
+              + (getf(_F_RRR, c) * nf).astype(jnp.int32)
           rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
-              + (getf(_F_RR, c) * nf).astype(jnp.int32)
+              + jax.lax.shift_right_logical(rq36, jnp.int32(12))
           tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
               + jax.lax.shift_right_logical(rq24, jnp.int32(12))
           chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
@@ -151,8 +163,9 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           cidx = chip - w * jnp.int32(CA_SEQ_LEN)
 
           # nav bit from per-block mask (0/1); // 20 via magic multiply
-          # (exact for u < 4096; q <= 28 given the block-length cap, so
-          # no & 31 needed)
+          # (exact for u < 4096; worst case q = (19 + 563)//20 = 29 under
+          # the block-length cap — still < 32, so no & 31 needed; the
+          # pack-time assert in build_block_params enforces this)
           q = jax.lax.shift_right_logical(
               (geti(_P_IC0, c) + w) * jnp.int32(3277), jnp.int32(16))
           mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
@@ -278,15 +291,24 @@ def build_block_params(dp):
     stepres = (step_exact - step).astype(np.float32)
 
     cp0q = np.floor(cp0 * 4096.0)
-    res0q24 = np.floor((cp0 * 4096.0 - cp0q) * 4096.0)
+    f12 = cp0 * 4096.0 - cp0q                 # q12 fraction in [0, 1)
+    res0q24 = np.floor(f12 * 4096.0)
+    res0q36 = np.floor((f12 * 4096.0 - res0q24) * 4096.0)
     vq = np.floor(v * 4096.0)
     r4 = v * 4096.0 - vq                      # q12 residual per sample
     r24 = np.floor(r4 * 4096.0)               # q24 integer step
-    rr = ((r4 - r24 / 4096.0) * 4096.0).astype(np.float32)  # q24 3rd level
+    r4b = r4 * 4096.0 - r24                   # q24 fraction in [0, 1)
+    r36 = np.floor(r4b * 4096.0)              # q36 integer step
+    rrr = ((r4b - r36 / 4096.0) * 4096.0).astype(np.float32)  # 4th level
 
     # nav-bit mask: bit q = 0/1 value of nav bit at index B0 + q
     b0 = np.where(act, dp.b0, 0)
     ic0 = np.where(act, dp.ic0, 0).astype(np.int32)
+    # enforce the 32-bit mask width: q = (ic0 + code_periods)//20 must
+    # stay < 32 for every sample of the block (worst case today is 29)
+    max_w = (cp0 + np.abs(v) * dp.block_samples) // CA_SEQ_LEN
+    assert int(np.max((ic0 + max_w) // 20)) < 32, \
+        "nav-bit index exceeds the 32-bit per-block mask"
     qidx = b0[..., None] + np.arange(32)[None, None, :]      # [M, C, 32]
     qidx = np.clip(qidx, 0, dp.bits.shape[1] - 1)
     bitvals = np.take_along_axis(
@@ -309,8 +331,10 @@ def build_block_params(dp):
     prmi[:, _P_IC0:_P_IC0 + C] = ic0
     prmi[:, _P_RES0Q24:_P_RES0Q24 + C] = res0q24.astype(np.int32)
     prmi[:, _P_R24:_P_R24 + C] = r24.astype(np.int32)
+    prmi[:, _P_RES0Q36:_P_RES0Q36 + C] = res0q36.astype(np.int32)
+    prmi[:, _P_R36:_P_R36 + C] = r36.astype(np.int32)
     prmf[:, _F_STEPRES:_F_STEPRES + C] = stepres
-    prmf[:, _F_RR:_F_RR + C] = rr
+    prmf[:, _F_RRR:_F_RRR + C] = rrr
     prmf[:, _F_GAIN:_F_GAIN + C] = gain
     return prmi.reshape(M, 8, _LANES), prmf.reshape(M, 8, _LANES)
 

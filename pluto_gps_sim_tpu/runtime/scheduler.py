@@ -31,7 +31,7 @@ from ..constants import MAX_CHAN, N_DWRD
 from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE
-from ..models.gpstime import GpsTime, inc_gps_time, sub_gps_time
+from ..models.gpstime import GpsTime, inc_gps_time
 from ..ops.epoch import solve_superframe
 from ..types import IonoUtc
 from . import scenario as scenario_mod
@@ -121,25 +121,24 @@ class Scheduler:
         st = self.state
         t0 = self._epoch_time(self.jblk)
         g_secs = np.empty(M + 1, dtype=np.float64)
-        t_rel = np.empty(M + 1, dtype=np.float64)
+        g_weeks = np.empty(M + 1, dtype=np.int64)
         rx = np.empty((M + 1, 3), dtype=np.float64)
         for j in range(M + 1):
             k = self.jblk + j
             tk = self._epoch_time(k)
             g_secs[j] = tk.sec
-            t_rel[j] = sub_gps_time(tk, t0)
+            g_weeks[j] = tk.week
             rx[j] = self.xyz[self._motion_index(k)]
 
         active = st.active.copy()
-        g0_offset = np.array([
-            sub_gps_time(t0, GpsTime(int(st.g0_week[c]), float(st.g0_sec[c])))
-            if active[c] else 0.0
-            for c in range(MAX_CHAN)], dtype=np.float64)
+        # inactive slots get a nearby dummy g0 so masked lanes stay finite
+        g0_sec = np.where(active, st.g0_sec, t0.sec)
+        g0_week = np.where(active, st.g0_week, t0.week)
 
         eph = self.rin.eph[self.ieph]
         params, carry = solve_superframe(
-            eph, self.ionoutc, g_secs, t_rel, rx, st.sv_idx, active,
-            g0_offset, st.rho0_range, dt=_BLOCK_DT)
+            eph, self.ionoutc, g_secs, g_weeks, rx, st.sv_idx, active,
+            g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT)
 
         # carrier-phase chain across blocks (f64, per-block wrap like the
         # reference's per-sample wrap — equivalent to fp noise)

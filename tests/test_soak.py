@@ -71,7 +71,13 @@ def test_soak_rollover_vs_oracle(oracle_exe, tmp_path, fixture_paths):
     exact = float(np.mean(ref == ours))
     print(f"rollover soak: SNR {snr:.1f} dB, bit-exact {exact:.4%}, "
           f"{ref.shape[0]} blocks")
-    assert snr >= 55.0 and exact >= 0.99
+    # measured floor (round 2): 82.0 dB / 99.990% over these 990 blocks.
+    # The residual is ~2 blocks with one chip-edge sample flip each where
+    # the reference's SEQUENTIAL f64 code-phase accumulation (c:2709,
+    # biased rounding drift up to ~1e-9 chips by block end) legitimately
+    # diverges from the f64 closed form — matching it any closer would
+    # mean emulating the reference's per-sample rounding order.
+    assert snr >= 75.0 and exact >= 0.999
 
 
 def test_soak_one_hour_stream(fixture_paths):
