@@ -22,7 +22,7 @@ from ..ops.synth_jnp import (
     DevicePlan,
     pack_plan,
     synth_superframe_precise,
-    synth_superframe_tiled,
+    synth_superframe_tiled_async,
 )
 from .scheduler import Scheduler
 
@@ -63,40 +63,80 @@ class IqStream:
         self.device = device
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
 
-    def superframes(self, n_blocks_total: int,
+    def superframes(self, n_blocks_total: int | None,
                     max_blocks: int = 300) -> Iterator[np.ndarray]:
-        """Yield superframes covering n_blocks_total 0.1 s blocks."""
+        """Yield superframes covering n_blocks_total 0.1 s blocks
+        (None = endless).
+
+        The loop is software-pipelined one superframe deep: superframe
+        k+1 is planned on the host and dispatched to the device before
+        superframe k's result is fetched, so host control plane, device
+        synthesis, and D2H transfer overlap (the reference's equivalent
+        is the producer/TX double buffer, c:2689-2759).  snapshot()
+        during iteration returns the resume point right after the last
+        *yielded* superframe, not the dispatched-ahead scheduler state.
+        """
         remaining = n_blocks_total
-        while remaining > 0:
-            plan = self.sched.plan(min(remaining, max_blocks))
-            if plan is None:
+        pending = None  # (device handle, resume snapshot after it)
+        while True:
+            nxt = None
+            if remaining is None or remaining > 0:
+                todo = max_blocks if remaining is None else \
+                    min(remaining, max_blocks)
+                plan = self.sched.plan(todo)
+                if plan is not None:
+                    if remaining is not None:
+                        remaining -= plan.n_blocks
+                    handle = self._dispatch(self._pack(plan))
+                    nxt = (handle, self._state_snapshot())
+            if pending is not None:
+                handle, snap = pending
+                out = self._finish(handle)
+                self._yield_snap = snap
+                yield out
+            if nxt is None:
                 return
-            dp = self._pack(plan)
-            yield self._synth(dp)
-            remaining -= plan.n_blocks
+            pending = nxt
 
     def generate(self, n_blocks_total: int) -> np.ndarray:
         """Generate the whole scenario into one array [blocks, N, 2]."""
         parts = list(self.superframes(n_blocks_total))
         return np.concatenate(parts, axis=0)
 
-    def _synth(self, dp: DevicePlan) -> np.ndarray:
+    # -- dispatch / fetch ------------------------------------------------
+
+    def _dispatch(self, dp: DevicePlan):
+        """Start synthesis of one superframe; returns an opaque handle
+        (an asynchronously-computing device array + unpack recipe)."""
         if self.mode == "precise":
-            return synth_superframe_precise(dp)
+            return ("np", synth_superframe_precise(dp), dp)
         if self.mode == "pallas":
-            return self._synth_pallas(dp)
-        return synth_superframe_tiled(dp, device=self.device)
+            return ("packed", self._dispatch_pallas(dp), dp)
+        return ("jax", synth_superframe_tiled_async(dp, device=self.device),
+                dp)
+
+    def _finish(self, handle) -> np.ndarray:
+        kind, out, dp = handle
+        if kind == "np":
+            return out
+        if kind == "jax":
+            return np.asarray(out)
+        packed = np.asarray(out)
+        n = dp.block_samples
+        iq = packed[:, :n].reshape(dp.n_blocks, n)
+        return np.stack(
+            [(iq & 0xFFFF).astype(np.uint16).view(np.int16),
+             (iq >> 16).astype(np.int16)], axis=-1)
 
     def _pack(self, plan) -> DevicePlan:
         return pack_plan(plan, tables=self.mode != "pallas")
 
-    def _synth_pallas(self, dp: DevicePlan) -> np.ndarray:
+    def _dispatch_pallas(self, dp: DevicePlan):
         """The fused TPU kernel — single device, or sharded over a
         ("time", "chan") mesh with the channel psum riding ICI."""
         import jax
 
         from ..ops import synth_pallas as sp
-
 
         prmi, prmf = sp.build_block_params(dp)
         ca_tabs = sp.pack_ca_tables([dp.ca2])
@@ -107,29 +147,21 @@ class IqStream:
             prmi, prmf, sf_map = pad_time_shards(
                 prmi, prmf, sf_map, self.mesh.shape["time"])
             prmf_sh = shard_channel_params(prmf, self.mesh.shape["chan"])
-            packed = np.asarray(synth_sharded(
-                self.mesh, prmi, prmf_sh, ca_tabs, sf_map,
-                dp.block_samples))[:dp.n_blocks]
-        else:
-            device = self.device
-            interpret = False
-            if device is None:
-                tpus = [d for d in jax.devices() if d.platform == "tpu"]
-                device = tpus[0] if tpus else None
-                interpret = not tpus
-            packed = np.asarray(sp.synth_blocks_pallas(
-                (prmi, prmf), ca_tabs, sf_map, dp.block_samples,
-                device=device, interpret=interpret))
-        n = dp.block_samples
-        iq = packed[:, :n].reshape(dp.n_blocks, n)
-        return np.stack(
-            [(iq & 0xFFFF).astype(np.uint16).view(np.int16),
-             (iq >> 16).astype(np.int16)], axis=-1)
+            return synth_sharded(self.mesh, prmi, prmf_sh, ca_tabs, sf_map,
+                                 dp.block_samples)[:dp.n_blocks]
+        device = self.device
+        interpret = False
+        if device is None:
+            tpus = [d for d in jax.devices() if d.platform == "tpu"]
+            device = tpus[0] if tpus else None
+            interpret = not tpus
+        return sp.synth_blocks_pallas(
+            (prmi, prmf), ca_tabs, sf_map, dp.block_samples,
+            device=device, interpret=interpret)
 
     # -- snapshot / resume ---------------------------------------------------
 
-    def snapshot(self) -> dict:
-        """Host state capsule; everything device-side is derived."""
+    def _state_snapshot(self) -> dict:
         s = self.sched
         return {
             "jblk": s.jblk, "ieph": s.ieph,
@@ -137,9 +169,23 @@ class IqStream:
                               vars(s.state).items()},
         }
 
+    def snapshot(self) -> dict:
+        """Host state capsule; everything device-side is derived.
+
+        During superframes() iteration this is the resume point after
+        the last yielded superframe (the scheduler itself runs one
+        superframe ahead, see superframes())."""
+        snap = getattr(self, "_yield_snap", None)
+        if snap is not None and snap["jblk"] != self.sched.jblk:
+            return {"jblk": snap["jblk"], "ieph": snap["ieph"],
+                    "channel_state": {k: np.copy(v) for k, v in
+                                      snap["channel_state"].items()}}
+        return self._state_snapshot()
+
     def restore(self, snap: dict) -> None:
         s = self.sched
         s.jblk = snap["jblk"]
         s.ieph = snap["ieph"]
         for k, v in snap["channel_state"].items():
             setattr(s.state, k, np.copy(v))
+        self._yield_snap = None
