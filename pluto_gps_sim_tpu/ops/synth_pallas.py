@@ -50,10 +50,11 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
             — memory-identical to the reference's interleaved
             little-endian int16 stream (c:2754)
 
-All per-(block,channel) parameters are packed into two [M, 8, 128] VMEM
-planes (int32 and float32), read back as scalars with static lane
-indices — SMEM is too small for thousands of blocks of prefetched
-parameters, and Mosaic has no scalar bitcast.
+All per-(block,channel) parameters are packed into two [M, 128] planes
+(int32 and float32) — 1 KB/block over the host link — padded on device
+to the [M, 8, 128] VMEM tile the kernel reads back as scalars with
+static lane indices.  SMEM is too small for thousands of blocks of
+prefetched parameters, and Mosaic has no scalar bitcast.
 
 Channel slots are static (12), masked by zeroed gain tables, so rise/set
 never changes shapes.  Multiple 30 s superframes batch into one call
@@ -261,12 +262,21 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
     )
     one = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES), jnp.int32)
     out_shape = one if packed else (one, one)
-    return jax.jit(pl.pallas_call(_kernel, out_shape=out_shape,
-                                  grid_spec=grid_spec, interpret=interpret))
+    call = pl.pallas_call(_kernel, out_shape=out_shape,
+                          grid_spec=grid_spec, interpret=interpret)
+
+    def fn(sf_map, prmi, prmf, ca_tabs, rawtab):
+        # params ship as [M, 128] (1 KB/block over the host link) and are
+        # padded on device to the kernel's [M, 8, 128] VMEM tile
+        pad = ((0, 0), (0, 7), (0, 0))
+        return call(sf_map, jnp.pad(prmi[:, None, :], pad),
+                    jnp.pad(prmf[:, None, :], pad), ca_tabs, rawtab)
+
+    return jax.jit(fn)
 
 
 def build_block_params(dp):
-    """ops.synth_jnp.DevicePlan -> packed ([M,8,128] i32, [M,8,128] f32)."""
+    """ops.synth_jnp.DevicePlan -> packed ([M,128] i32, [M,128] f32)."""
     # Q24 residual ramp bound: r24*n must stay inside int32
     assert dp.block_samples <= MAX_BLOCK_SAMPLES, \
         "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
@@ -321,8 +331,8 @@ def build_block_params(dp):
 
     gain = np.where(act, dp.gain, 0.0).astype(np.float32)
 
-    prmi = np.zeros((M, 8 * _LANES), dtype=np.int32)
-    prmf = np.zeros((M, 8 * _LANES), dtype=np.float32)
+    prmi = np.zeros((M, _LANES), dtype=np.int32)
+    prmf = np.zeros((M, _LANES), dtype=np.float32)
     prmi[:, _P_PHASE0:_P_PHASE0 + C] = phase0_u32
     prmi[:, _P_STEP:_P_STEP + C] = step_u32
     prmi[:, _P_CP0Q:_P_CP0Q + C] = cp0q.astype(np.int32)
@@ -336,7 +346,7 @@ def build_block_params(dp):
     prmf[:, _F_STEPRES:_F_STEPRES + C] = stepres
     prmf[:, _F_RRR:_F_RRR + C] = rrr
     prmf[:, _F_GAIN:_F_GAIN + C] = gain
-    return prmi.reshape(M, 8, _LANES), prmf.reshape(M, 8, _LANES)
+    return prmi, prmf
 
 
 def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:
@@ -345,11 +355,14 @@ def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:
     Chip k lives in bit (k & 31) of word (k >> 5); bit 1 encodes chip -1
     (sign = 1 - 2*bit).  Words 32..127 are zero padding."""
     ns = len(ca2_list)
+    ca2 = np.stack(ca2_list)                              # [NS, C, 1023]
+    bits01 = (1 - ca2.astype(np.int64)) // 2              # -1 -> 1, +1 -> 0
+    bits01 = np.concatenate(
+        [bits01, np.zeros((ns, _C, 32 * 32 - CA_SEQ_LEN), np.int64)],
+        axis=-1).reshape(ns, _C, 32, 32)
+    words = (bits01 << np.arange(32, dtype=np.int64)).sum(axis=-1)
     out = np.zeros((ns, _C, 1, _LANES), dtype=np.int64)
-    for s, ca2 in enumerate(ca2_list):
-        bits01 = (1 - ca2.astype(np.int64)) // 2          # -1 -> 1, +1 -> 0
-        for k in range(CA_SEQ_LEN):
-            out[s, :, 0, k >> 5] |= bits01[:, k] << (k & 31)
+    out[:, :, 0, :32] = words
     return (out & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
 
@@ -397,8 +410,9 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         interpret: bool = False):
     """Run the fused kernel.
 
-    prm: build_block_params output (int plane, float plane); ca2_tables:
-    [NS, C, 8, 128] int32; sf_map: [M] int32 block->superframe map.
+    prm: build_block_params output ([M,128] int plane, [M,128] float
+    plane); ca2_tables: [NS, C, 1, 128] int32; sf_map: [M] int32
+    block->superframe map.
     Returns packed int32 IQ [M, n_tiles*TILE_SAMPLES]; trim each row to
     block_samples and .view(int16) for the interleaved stream."""
     prmi, prmf = prm

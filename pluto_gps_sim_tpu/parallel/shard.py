@@ -47,14 +47,14 @@ def pad_time_shards(prmi: np.ndarray, prmf: np.ndarray, sf_map: np.ndarray,
 
 def shard_channel_params(prmf: np.ndarray, n_chan_shards: int) -> np.ndarray:
     """Replicate the float param plane per channel shard, zeroing the gain
-    of channels owned by other shards -> [n_shards, M, 8, 128]."""
+    of channels owned by other shards -> [n_shards, M, 128]."""
     out = np.repeat(prmf[None], n_chan_shards, axis=0)
     bounds = np.linspace(0, MAX_CHAN, n_chan_shards + 1).astype(int)
     for s in range(n_chan_shards):
         lo, hi = bounds[s], bounds[s + 1]
         for c in range(MAX_CHAN):
             if not (lo <= c < hi):
-                out[s, :, 0, sp._F_GAIN + c] = 0.0
+                out[s, :, sp._F_GAIN + c] = 0.0
     return out
 
 
@@ -63,8 +63,8 @@ def synth_sharded(mesh: Mesh, prmi: np.ndarray, prmf_sharded: np.ndarray,
                   block_samples: int, interpret: bool | None = None):
     """Run the sharded synthesis over `mesh` -> packed int32 IQ [M, NT].
 
-    prmi [M,8,128] int32 (sharded over time), prmf_sharded
-    [chan_shards, M, 8, 128] f32 (sharded over (chan, time)),
+    prmi [M,128] int32 (sharded over time), prmf_sharded
+    [chan_shards, M, 128] f32 (sharded over (chan, time)),
     ca2_tables replicated, sf_map [M] int32 (sharded over time)."""
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
@@ -86,7 +86,7 @@ def synth_sharded(mesh: Mesh, prmi: np.ndarray, prmf_sharded: np.ndarray,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("time", None, None), P("chan", "time", None, None),
+        in_specs=(P("time", None), P("chan", "time", None),
                   P(None, None, None, None), P("time")),
         out_specs=P("time", None),
         check_vma=False,  # pallas_call out_shape carries no vma info
