@@ -1,0 +1,146 @@
+"""Multi-process (DCN-style) sharded-synthesis dryrun.
+
+Validates the framework's multi-HOST story without a TPU pod: N python
+processes, each owning `local_devices` virtual CPU devices, bootstrap a
+global JAX runtime via jax.distributed, build one global ("time","chan")
+mesh whose CHANNEL axis spans the process boundary — so the composite
+psum crosses processes the way it would cross DCN between hosts — run
+the full sharded synthesis step, and verify every process's addressable
+output shards bit-for-bit against an unsharded local computation.
+
+Workers are spawned as fresh interpreters through `python -c` because
+(a) JAX/XLA env vars must be set before any jax import and (b)
+jax.distributed.initialize must run before anything initializes the XLA
+backend — and importing this package pulls in jax.experimental.pallas,
+which does.  The -c stub initializes the distributed runtime FIRST and
+only then imports the package and calls worker_body().
+
+Coordinator helper `run_multiprocess_dryrun(n_processes)` spawns the
+workers and collects their verdicts; used by __graft_entry__'s
+dryrun_multichip and tests/test_multiprocess.py.
+
+Reference contrast: the reference is a single process whose only
+parallelism is one generator thread + one TX thread over a mutex
+(plutogpssim.c:2689-2759); its strictly sequential time loop is what the
+closed-form time axis removes (SURVEY.md section 2, parallelism notes).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+__all__ = ["run_multiprocess_dryrun", "worker_body"]
+
+LOCAL_DEVICES = 4
+OK_TAG = "MULTIPROC_DRYRUN OK"
+
+
+def worker_body(pid: int, nproc: int) -> None:
+    """Runs AFTER jax.distributed.initialize (see the -c stub below)."""
+    import jax
+    import numpy as np
+
+    import pluto_gps_sim_tpu  # noqa: F401 (x64 config)
+    from jax.sharding import Mesh
+
+    from ..ops import synth_pallas as sp
+    from . import shard_channel_params, synth_sharded
+    from .synthetic import synthetic_params
+
+    devs = jax.devices()
+    assert len(devs) == nproc * LOCAL_DEVICES, (len(devs), nproc)
+
+    # chan axis ACROSS processes: transpose the (process, local) grid so
+    # the psum over "chan" crosses the process boundary (the DCN path on
+    # real multi-host meshes); "time" stays within each process
+    grid = np.asarray(devs).reshape(nproc, LOCAL_DEVICES).T
+    mesh = Mesh(grid, axis_names=("time", "chan"))
+
+    block_samples = sp.TILE_SAMPLES
+    n_blocks = 2 * mesh.shape["time"]
+    prmi, prmf, ca_tabs, sf_map = synthetic_params(n_blocks, block_samples)
+    prmf_sh = shard_channel_params(prmf, mesh.shape["chan"])
+
+    out = synth_sharded(mesh, prmi, prmf_sh, ca_tabs, sf_map, block_samples)
+
+    # unsharded local reference (every process computes the full result)
+    ref = np.asarray(sp.synth_blocks_pallas(
+        (prmi, prmf), ca_tabs, sf_map, block_samples, interpret=True))
+
+    n_checked = 0
+    for s in out.addressable_shards:
+        got = np.asarray(s.data)
+        want = ref[s.index]
+        assert got.shape == want.shape, (got.shape, want.shape)
+        assert np.array_equal(got, want), \
+            f"process {pid}: shard {s.index} diverges from unsharded run"
+        n_checked += 1
+    assert n_checked > 0, "process owns no output shards"
+
+    print(f"{OK_TAG}: process {pid}/{nproc}, mesh time={mesh.shape['time']} "
+          f"chan={mesh.shape['chan']} (chan spans processes), "
+          f"{n_checked} shards bit-exact", flush=True)
+    jax.distributed.shutdown()
+
+
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run_multiprocess_dryrun(n_processes: int = 2,
+                            timeout: float = 600.0) -> str:
+    """Spawn the workers; returns their combined stdout.  Raises on any
+    failure (non-zero exit, missing OK tag)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # force pure-CPU workers: some TPU proxy plugins (e.g. axon, injected
+    # via PYTHONPATH) ignore JAX_PLATFORMS=cpu and would register the one
+    # real chip in every worker
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    stub = (
+        "import os, sys\n"
+        "pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['XLA_FLAGS'] = "
+        f"'--xla_force_host_platform_device_count={LOCAL_DEVICES}'\n"
+        "import jax\n"
+        "jax.distributed.initialize(coordinator_address=coord,"
+        " num_processes=nproc, process_id=pid)\n"
+        "from pluto_gps_sim_tpu.parallel.multiproc_dryrun import worker_body\n"
+        "worker_body(pid, nproc)\n")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", stub, str(pid), str(n_processes), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(n_processes)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError(f"multiprocess dryrun: process {pid} hung")
+        outs.append(out)
+        if p.returncode != 0 or OK_TAG not in out:
+            raise RuntimeError(
+                f"multiprocess dryrun: process {pid} failed "
+                f"(rc={p.returncode}):\n{out}")
+    return "\n".join(outs)
+
+
+if __name__ == "__main__":
+    # direct invocation runs the whole coordinator+workers check
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    print(run_multiprocess_dryrun(n))
