@@ -1,0 +1,86 @@
+"""Compiled-TPU correctness gate — RUN_TPU=1 (needs a real TPU chip).
+
+Everything else in the suite runs the Pallas kernel in interpret mode on
+CPU (tests/conftest.py pins the CPU backend), which exercises the math
+but not the Mosaic lowering.  These tests run the ACTUAL compiled
+artifacts on the attached chip against the f64 precise path:
+
+    RUN_TPU=1 python -m pytest tests/test_tpu_compiled.py -q -s
+
+bench.py performs the same kernel check before every timing run, so the
+driver's benchmark is also a compiled-correctness run; this test exists
+so `RUN_TPU=1 pytest` can gate a toolchain upgrade without benching.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pluto_gps_sim_tpu.constants import R2D
+from pluto_gps_sim_tpu.ingest import read_rinex2
+from pluto_gps_sim_tpu.models.geodesy import llh2xyz
+from pluto_gps_sim_tpu.runtime import select_ephemeris_set, setup_scenario
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_TPU") != "1",
+    reason="needs a real TPU chip; enable with RUN_TPU=1")
+
+TOKYO = np.array([35.681298 / R2D, 139.766247 / R2D, 10.0])
+
+
+def _tpu():
+    import jax
+    tpus = [d for d in jax.devices() if d.platform == "tpu"]
+    if not tpus:
+        pytest.skip("no TPU device present")
+    return tpus[0]
+
+
+def _scenario(fixture_paths, fs):
+    from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
+    from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    sched = Scheduler(rin, g0, ieph, np.asarray(llh2xyz(TOKYO)), fs=fs)
+    return pack_plan(sched.plan(4))
+
+
+def _assert_tracks_precise(got, golden, what):
+    """Bit-exact except the kernel's u32-carrier LUT quantization: a few
+    adjacent-entry picks (few-LSB errors) allowed, any full-amplitude
+    (chip/nav-bit) error fails."""
+    exact = float(np.mean(got == golden))
+    max_err = int(np.abs(got.astype(np.int64)
+                         - golden.astype(np.int64)).max())
+    print(f"{what}: bit-exact {exact:.6%}, max component err {max_err}")
+    assert exact >= 0.9999, f"{what}: bit-exact {exact:.6%}"
+    assert max_err <= 16, f"{what}: max err {max_err} (chip/nav flip?)"
+
+
+def test_compiled_pallas_vs_precise(fixture_paths):
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import synth_superframe_precise
+    dp = _scenario(fixture_paths, fs=2_600_000.0)
+    golden = synth_superframe_precise(dp)
+    out = np.asarray(sp.synth_blocks_pallas(
+        sp.build_block_params(dp), sp.pack_ca_tables([dp.ca2]),
+        np.zeros(dp.n_blocks, np.int32), dp.block_samples,
+        device=_tpu()))[:, :dp.block_samples]
+    got = np.stack([(out & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (out >> 16).astype(np.int16)], axis=-1)
+    _assert_tracks_precise(got, golden, "compiled pallas")
+
+
+def test_compiled_tiled_vs_precise(fixture_paths):
+    """The XLA fallback path compiled for TPU (per-tile anchors make it
+    track the f64 path even closer than the per-block Pallas NCOs)."""
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        synth_superframe_precise, synth_superframe_tiled)
+    dp = _scenario(fixture_paths, fs=2_600_000.0)
+    golden = synth_superframe_precise(dp)
+    got = synth_superframe_tiled(dp, device=_tpu())
+    _assert_tracks_precise(got, golden, "compiled tiled")
