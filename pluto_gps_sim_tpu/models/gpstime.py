@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 from ..constants import SECONDS_IN_DAY, SECONDS_IN_HOUR, SECONDS_IN_MINUTE, SECONDS_IN_WEEK
 
-__all__ = ["GpsTime", "DateTime", "date2gps", "gps2date", "sub_gps_time", "inc_gps_time"]
+__all__ = ["inc_gps_time_grid", "GpsTime", "DateTime", "date2gps", "gps2date", "sub_gps_time", "inc_gps_time"]
 
 
 @dataclass(frozen=True)
@@ -88,3 +88,18 @@ def inc_gps_time(g0: GpsTime, dt: float) -> GpsTime:
 def _c_round(x: float) -> float:
     """C round(): half away from zero (Python round() is banker's)."""
     return math.floor(x + 0.5) if x >= 0.0 else math.ceil(x - 0.5)
+
+
+def inc_gps_time_grid(g0: GpsTime, dts: "np.ndarray"):
+    """Vectorized inc_gps_time over an array of offsets (all >= 0).
+
+    Elementwise IEEE-identical to [inc_gps_time(g0, dt) for dt in dts]
+    (same operation tree: add, *1000, half-away round, /1000, week wrap);
+    used by the scheduler's epoch grid, where the per-epoch Python-loop
+    cost matters at Monte-Carlo batch sizes.  Returns (secs f64, weeks
+    int64)."""
+    import numpy as np
+    sec = g0.sec + np.asarray(dts, dtype=np.float64)
+    sec = np.floor(sec * 1000.0 + 0.5) / 1000.0
+    wrap = np.floor_divide(sec, SECONDS_IN_WEEK).astype(np.int64)
+    return sec - wrap * SECONDS_IN_WEEK, g0.week + wrap

@@ -40,7 +40,8 @@ from ..constants import (
 from ..types import IonoUtc
 from .gpstime import GpsTime
 
-__all__ = ["eph_to_subframes", "compute_checksum", "generate_nav_msg"]
+__all__ = ["eph_to_subframes", "compute_checksum", "generate_nav_msg",
+           "NavCache"]
 
 _PARITY_MASKS = (
     0x3B1F3480, 0x1D8F9A40, 0x2EC7CD00,
@@ -272,3 +273,53 @@ def generate_nav_msg(g: GpsTime, sbf: np.ndarray, dwrd: np.ndarray,
             prevwrd = int(dwrd[(isbf + 1) * N_DWRD_SBF + iwrd])
 
     return g0
+
+
+class NavCache:
+    """Content-keyed cache of nav-message products, shared across the
+    receivers of a Monte-Carlo batch (parallel/montecarlo.py).
+
+    Nav content is receiver-INDEPENDENT: subframes depend only on
+    (ephemeris set, sv, iono/UTC), and the 60-word transmit buffer on
+    (sbf content, frame time, previous-frame SF5 for the slot-0 chain,
+    c:1853-1859).  With B receivers sharing one scenario clock, the
+    per-boundary nav regeneration is ~12 unique (PRN, time) products
+    instead of 12*B — keys are content hashes, so ephemeris rollovers
+    and per-receiver allocation times cannot alias."""
+
+    def __init__(self):
+        self._sbf: dict = {}
+        self._msg: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def subframes(self, eph, sv: int, ionoutc: IonoUtc) -> np.ndarray:
+        key = (id(eph), sv, bool(ionoutc.vflg), bool(ionoutc.enable))
+        out = self._sbf.get(key)
+        if out is None:
+            self.misses += 1
+            out = eph_to_subframes(eph, sv, ionoutc)
+            self._sbf[key] = out
+        else:
+            self.hits += 1
+        return out.copy()
+
+    def nav_msg(self, g: GpsTime, sbf: np.ndarray,
+                dwrd: np.ndarray | None, init: bool):
+        """Cached generate_nav_msg.  Returns (g0, new dwrd[60]); for
+        init=False pass the channel's current dwrd (its trailing SF5
+        seeds the new frame's slot 0 and is part of the key)."""
+        tail = b"" if init else dwrd[50:60].tobytes()
+        key = (g.week, int(round(g.sec * 10.0)), init,
+               sbf.tobytes(), tail)
+        hit = self._msg.get(key)
+        if hit is None:
+            self.misses += 1
+            new = np.zeros(N_DWRD, dtype=np.uint32) if init else dwrd.copy()
+            g0 = generate_nav_msg(g, sbf, new, init=init)
+            self._msg[key] = (g0, new)
+            hit = (g0, new)
+        else:
+            self.hits += 1
+        g0, new = hit
+        return g0, new.copy()

@@ -40,7 +40,8 @@ from . import geodesy
 from ..types import Ephemerides, IonoUtc
 from ..utils.hostjax import cpu_jit
 
-__all__ = ["satpos", "ionospheric_delay", "compute_range", "check_visibility"]
+__all__ = ["satpos", "ionospheric_delay", "compute_range",
+           "check_visibility", "check_visibility_batch"]
 
 _KEPLER_ITERS = 12
 
@@ -219,3 +220,12 @@ def check_visibility(eph: Ephemerides, g_sec: jnp.ndarray, xyz: jnp.ndarray,
 
     visible = (azel[..., 1] * R2D > elv_mask_deg) & eph.vflg
     return visible, azel
+
+
+@cpu_jit
+def check_visibility_batch(eph: Ephemerides, g_sec: jnp.ndarray,
+                           xyz: jnp.ndarray, elv_mask_deg: float = 0.0):
+    """check_visibility vmapped over a receiver batch: g_sec [B],
+    xyz [B, 3] -> (visible [B, 32], azel [B, 32, 2])."""
+    return jax.vmap(lambda g, x: check_visibility.__wrapped__(
+        eph, g, x, elv_mask_deg))(g_sec, xyz)

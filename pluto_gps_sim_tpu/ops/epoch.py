@@ -58,6 +58,17 @@ def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
 
 
 @cpu_jit
+def solve_ranges_batch(eph: Ephemerides, ionoutc: IonoUtc,
+                       g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+    """solve_ranges vmapped over a receiver batch (Monte-Carlo control
+    plane): one device call for ALL trajectories instead of B jit
+    round-trips.  rx_pos: [B, n_epochs, 3]; returns dict [B, n_epochs, 32].
+    """
+    return jax.vmap(lambda rx: solve_ranges.__wrapped__(
+        eph, ionoutc, g_secs, rx))(rx_pos)
+
+
+@cpu_jit
 def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
                      rho_el: jnp.ndarray,
                      g_secs: jnp.ndarray, g_weeks: jnp.ndarray,
@@ -118,7 +129,7 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
                      sv_idx: np.ndarray, active: np.ndarray,
                      g0_sec: np.ndarray, g0_week: np.ndarray,
                      rho0_range: np.ndarray,
-                     dt: float = 0.1):
+                     dt: float = 0.1, rho=None):
     """Full epoch solve for one superframe.
 
     g_secs/g_weeks [n_epochs]: epoch grid t_0..t_M GPS time (t_0 = anchor
@@ -131,9 +142,14 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
       superframes / from allocation, possibly computed with the previous
       ephemeris set at rollovers — reference c:2774-2790 semantics).
 
+    rho: optional precomputed solve_ranges output for this exact grid
+      (batched Monte-Carlo planes compute it once for all receivers).
+
     Returns (params dict [n_blocks, C], carry dict for the next superframe).
     """
-    rho = solve_ranges(eph, ionoutc, jnp.asarray(g_secs), jnp.asarray(rx_pos))
+    if rho is None:
+        rho = solve_ranges(eph, ionoutc, jnp.asarray(g_secs),
+                           jnp.asarray(rx_pos))
     rng = np.asarray(rho["range"])[:, sv_idx]        # [n_epochs, C]
     d = np.asarray(rho["d"])[:, sv_idx]
     azel = np.asarray(rho["azel"])[:, sv_idx, :]

@@ -8,10 +8,20 @@ B receivers over M blocks is ONE kernel launch over B*M blocks (and
 shards over a mesh's "time"/"chan" axes like any other stream via
 parallel.synth_sharded).
 
-Control plane: one host Scheduler per trajectory (allocation, nav bits,
-rollover are per-receiver state machines at 1/30 s cadence); the 10 Hz
-epoch solves inside plan() are jit-cached, so the per-trajectory cost is
-small and amortizes over the superframe.
+Control plane (batched; the naive form — B sequential Schedulers each
+making its own jit round-trips — costs ~3x the kernel time at B=256):
+
+  * all receivers share one scenario clock, so the epoch grid
+    (g_secs/g_weeks) is computed once;
+  * the range solve is ONE `solve_ranges_batch` call (vmap over
+    receivers) per superframe instead of B jit round-trips;
+  * boundary allocation inputs (visibility, az/el, receiver and
+    earth-center ranges) come from one batched solve at the boundary
+    epoch — the earth-center reference solve (c:1959) is
+    receiver-independent and computed once;
+  * nav-message products are receiver-independent given the shared
+    clock, so a shared models.lnav.NavCache collapses per-boundary nav
+    regeneration from 12*B rebuilds to ~12.
 
 Typical use — receiver swarms, coverage/DOP studies, fuzzing a receiver
 against perturbed trajectories:
@@ -26,9 +36,13 @@ from __future__ import annotations
 import numpy as np
 
 from ..ingest.rinex import RinexResult
-from ..models.gpstime import GpsTime
+from ..models import orbits
+from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
+from ..models.lnav import NavCache
 from ..ops import synth_pallas as sp
+from ..ops.epoch import solve_ranges, solve_ranges_batch
 from ..ops.synth_jnp import pack_plan
+from ..runtime import scenario as scenario_mod
 from ..runtime.scheduler import Scheduler
 from .shard import pad_time_shards, shard_channel_params, synth_sharded
 
@@ -48,35 +62,94 @@ class MonteCarloBatch:
         if xyz_batch.ndim != 3 or xyz_batch.shape[-1] != 3:
             raise ValueError("xyz_batch must be [B, 3] or [B, numd, 3]")
         self.B = xyz_batch.shape[0]
+        self.rin = rin
+        self.nav_cache = NavCache()
+        # batched initial-allocation solves at t_0 (motion sample 0)
+        pre = self._alloc_precomp(rin.eph[ieph], start, xyz_batch[:, 0])
         self.scheds = [
             Scheduler(rin, start, ieph, xyz_batch[b], fs,
                       block_samples=block_samples,
-                      static_mode=static_mode and xyz_batch.shape[1] == 1)
+                      static_mode=static_mode and xyz_batch.shape[1] == 1,
+                      nav_cache=self.nav_cache, alloc_precomp=pre[b])
             for b in range(self.B)]
         self.block_samples = self.scheds[0].block_samples
+        self.control_seconds = 0.0   # cumulative host control-plane time
+
+    def _alloc_precomp(self, eph, grx: GpsTime, rx: np.ndarray):
+        """Batched allocation inputs at time grx for all B receivers:
+        one visibility solve, one range solve, one shared earth-center
+        reference solve."""
+        g = np.full(self.B, grx.sec)
+        vis, azel = orbits.check_visibility_batch(eph, g, rx)
+        rho = solve_ranges_batch(eph, self.rin.ionoutc,
+                                 np.asarray([grx.sec]), rx[:, None, :])
+        rho = {k: np.asarray(v)[:, 0] for k, v in rho.items()}  # [B, 32]
+        ref = solve_ranges(eph, self.rin.ionoutc, np.asarray([grx.sec]),
+                           np.zeros((1, 3)))
+        ref = {k: np.asarray(v)[0] for k, v in ref.items()}     # [32]
+        vis = np.asarray(vis)
+        azel = np.asarray(azel)
+        return [{"vis": vis[b], "azel": azel[b],
+                 "rho": {k: v[b] for k, v in rho.items()},
+                 "rho_ref": ref} for b in range(self.B)]
 
     def plan_blocks(self, n_blocks: int):
         """Plan n_blocks for every trajectory; returns kernel-ready args.
 
         All trajectories share the scenario clock, so their superframe
-        boundaries align and each contributes exactly n_blocks blocks.
-        """
+        boundaries align and every plan() round covers the same block
+        span for every receiver — which is what lets the range solve
+        batch over receivers."""
+        import time as _time
+        t_start = _time.time()
         prmi_all, prmf_all, ca_tabs, sf_map = [], [], [], []
-        for b, sched in enumerate(self.scheds):
-            done = 0
-            while done < n_blocks:
-                plan = sched.plan(n_blocks - done)
+        per_b = [[] for _ in range(self.B)]
+        done = 0
+        while done < n_blocks:
+            s0 = self.scheds[0]
+            # shared epoch grid for this round (same clock for all b)
+            M = min(s0._blocks_to_boundary(), n_blocks - done)
+            t0 = s0._epoch_time(s0.jblk)
+            ks = s0.jblk + np.arange(M + 1)
+            g_secs, _ = inc_gps_time_grid(s0.g_start, 0.1 * ks)
+            midx = np.where(ks <= 0, 0, (ks - 1))
+            rx = np.stack([
+                np.broadcast_to(s.xyz[0], (M + 1, 3)) if s.static_mode
+                else s.xyz[midx % s.numd]
+                for s in self.scheds])                     # [B, M+1, 3]
+            eph = self.rin.eph[s0.ieph]
+            rho_b = solve_ranges_batch(eph, self.rin.ionoutc, g_secs, rx)
+
+            # boundary-allocation precomp (with the eph set in effect
+            # AFTER the clock-driven rollover check, c:2774-2790)
+            t_end = inc_gps_time(t0, 0.1 * M)
+            pre = None
+            if int(round(t_end.sec * 10.0)) % 300 == 0:
+                ieph_next = scenario_mod.advance_ephemeris_set(
+                    self.rin, s0.ieph, t_end)
+                pre = self._alloc_precomp(self.rin.eph[ieph_next], t_end,
+                                          rx[:, -1])
+            for b, sched in enumerate(self.scheds):
+                rho = {k: v[b] for k, v in rho_b.items()}
+                plan = sched.plan(n_blocks - done, rho=rho,
+                                  alloc_precomp=None if pre is None
+                                  else pre[b])
+                assert plan.n_blocks == M, "schedulers lost clock sync"
+                per_b[b].append(plan)
+            done += M
+        for b in range(self.B):
+            for plan in per_b[b]:
                 dp = pack_plan(plan, tables=False)  # kernel builds LUTs
                 prmi, prmf = sp.build_block_params(dp)
                 prmi_all.append(prmi)
                 prmf_all.append(prmf)
                 sf_map.append(np.full(plan.n_blocks, len(ca_tabs), np.int32))
                 ca_tabs.append(dp.ca2)
-                done += plan.n_blocks
         prmi = np.concatenate(prmi_all, axis=0)
         prmf = np.concatenate(prmf_all, axis=0)
         sf_map = np.concatenate(sf_map)
         ca2 = sp.pack_ca_tables(ca_tabs)
+        self.control_seconds += _time.time() - t_start
         return prmi, prmf, ca2, sf_map
 
     def generate(self, n_blocks: int, mesh=None, device=None,

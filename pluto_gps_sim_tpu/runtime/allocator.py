@@ -67,11 +67,27 @@ class ChannelState:
 
 def allocate_channels(state: ChannelState, eph: Ephemerides,
                       ionoutc: IonoUtc, grx: GpsTime,
-                      xyz: np.ndarray) -> int:
-    """One allocation pass at time grx; mutates state; returns #visible."""
-    vis, azel = orbits.check_visibility(eph, grx.sec, xyz)
-    vis = np.asarray(vis)
-    azel = np.asarray(azel)
+                      xyz: np.ndarray, precomp: dict | None = None,
+                      nav_cache=None) -> int:
+    """One allocation pass at time grx; mutates state; returns #visible.
+
+    precomp (optional, for batched Monte-Carlo control planes) carries
+    device solves already computed for this (receiver, grx, eph):
+      vis [32] bool, azel [32,2], and the per-sat range/iono/d arrays of
+      compute_range at grx for the receiver ("rho") and the earth-center
+      reference ("rho_ref", receiver-independent, c:1959).  nav_cache is
+      a models.lnav.NavCache shared across receivers."""
+    if precomp is not None:
+        vis, azel = precomp["vis"], precomp["azel"]
+    else:
+        vis, azel = orbits.check_visibility(eph, grx.sec, xyz)
+        vis = np.asarray(vis)
+        azel = np.asarray(azel)
+
+    rho = rho_ref = None
+    if precomp is not None:
+        rho = precomp["rho"]
+        rho_ref = precomp["rho_ref"]
 
     nsat = 0
     for sv in range(MAX_SAT):
@@ -80,9 +96,19 @@ def allocate_channels(state: ChannelState, eph: Ephemerides,
             if state.allocated_sat[sv] == -1:
                 free = np.flatnonzero(state.prn == 0)
                 if free.size:
+                    if rho is None:
+                        # one solve per PASS, not per channel (c:1953/1959
+                        # recompute per allocation; same values)
+                        rho = {k: np.asarray(v) for k, v in
+                               orbits.compute_range(eph, ionoutc, grx.sec,
+                                                    xyz).items()}
+                        rho_ref = {k: np.asarray(v) for k, v in
+                                   orbits.compute_range(eph, ionoutc,
+                                                        grx.sec,
+                                                        np.zeros(3)).items()}
                     i = int(free[0])
-                    _init_channel(state, i, sv, eph, ionoutc, grx, xyz,
-                                  azel[sv])
+                    _init_channel(state, i, sv, eph, ionoutc, grx,
+                                  azel[sv], rho, rho_ref, nav_cache)
                     state.allocated_sat[sv] = i
         elif state.allocated_sat[sv] >= 0:
             state.prn[state.allocated_sat[sv]] = 0
@@ -91,24 +117,28 @@ def allocate_channels(state: ChannelState, eph: Ephemerides,
 
 
 def _init_channel(state: ChannelState, i: int, sv: int, eph: Ephemerides,
-                  ionoutc: IonoUtc, grx: GpsTime, xyz: np.ndarray,
-                  azel_sv: np.ndarray) -> None:
+                  ionoutc: IonoUtc, grx: GpsTime, azel_sv: np.ndarray,
+                  rho: dict, rho_ref: dict, nav_cache=None) -> None:
     state.prn[i] = sv + 1
     state.azel[i] = azel_sv
 
-    state.sbf[i] = lnav.eph_to_subframes(eph, sv, ionoutc)
-    g0 = lnav.generate_nav_msg(grx, state.sbf[i], state.dwrd[i], init=True)
+    if nav_cache is not None:
+        sbf = nav_cache.subframes(eph, sv, ionoutc)
+        state.sbf[i] = sbf
+        g0, dwrd = nav_cache.nav_msg(grx, sbf, None, init=True)
+        state.dwrd[i] = dwrd
+    else:
+        state.sbf[i] = lnav.eph_to_subframes(eph, sv, ionoutc)
+        g0 = lnav.generate_nav_msg(grx, state.sbf[i], state.dwrd[i],
+                                   init=True)
     state.g0_week[i] = g0.week
     state.g0_sec[i] = g0.sec
 
-    rho = orbits.compute_range(eph, ionoutc, grx.sec, xyz)
-    r_xyz = float(np.asarray(rho["range"])[sv])
+    r_xyz = float(rho["range"][sv])
     state.rho0_range[i] = r_xyz
-    state.iono_delay[i] = float(np.asarray(rho["iono_delay"])[sv])
-    state.d0[i] = float(np.asarray(rho["d"])[sv])
+    state.iono_delay[i] = float(rho["iono_delay"][sv])
+    state.d0[i] = float(rho["d"][sv])
 
-    rho_ref = orbits.compute_range(eph, ionoutc, grx.sec, np.zeros(3))
-    r_ref = float(np.asarray(rho_ref["range"])[sv])
-
+    r_ref = float(rho_ref["range"][sv])
     phase_ini = (2.0 * r_ref - r_xyz) / LAMBDA_L1
     state.carr_phase[i] = phase_ini - np.floor(phase_ini)

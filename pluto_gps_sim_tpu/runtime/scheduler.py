@@ -31,7 +31,7 @@ from ..constants import MAX_CHAN, N_DWRD
 from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE
-from ..models.gpstime import GpsTime, inc_gps_time
+from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
 from ..ops.epoch import solve_superframe
 from ..types import IonoUtc
 from . import scenario as scenario_mod
@@ -73,7 +73,8 @@ class Scheduler:
     def __init__(self, rin: RinexResult, start: GpsTime, ieph: int,
                  xyz: np.ndarray, fs: float,
                  block_samples: int | None = None,
-                 static_mode: bool = True):
+                 static_mode: bool = True,
+                 nav_cache=None, alloc_precomp: dict | None = None):
         self.rin = rin
         self.ionoutc: IonoUtc = rin.ionoutc
         self.ieph = ieph
@@ -83,6 +84,7 @@ class Scheduler:
         self.fs = float(fs)
         self.delt = 1.0 / float(fs)
         self.block_samples = int(block_samples or round(fs / 10))
+        self.nav_cache = nav_cache  # models.lnav.NavCache, shared in MC
 
         self.g_start = start
         self.jblk = 0  # global block counter: current anchor = start + 0.1*jblk
@@ -90,7 +92,8 @@ class Scheduler:
 
         # initial allocation at t_0 with motion sample 0 (c:2629-2632)
         allocate_channels(self.state, rin.eph[ieph], self.ionoutc, start,
-                          self.xyz[0])
+                          self.xyz[0], precomp=alloc_precomp,
+                          nav_cache=nav_cache)
 
     # -- helpers -----------------------------------------------------------
 
@@ -111,24 +114,27 @@ class Scheduler:
 
     # -- planning ----------------------------------------------------------
 
-    def plan(self, max_blocks: int) -> SuperframePlan | None:
+    def plan(self, max_blocks: int, rho=None,
+             alloc_precomp: dict | None = None) -> SuperframePlan | None:
         """Plan the next superframe (up to max_blocks blocks), advance all
-        host state, and run boundary updates when a 30 s boundary is hit."""
+        host state, and run boundary updates when a 30 s boundary is hit.
+
+        rho / alloc_precomp: precomputed device solves for batched
+        control planes (parallel/montecarlo.py) — rho is this receiver's
+        solve_ranges output over the plan's epoch grid; alloc_precomp
+        feeds the boundary allocation pass (see allocate_channels)."""
         if max_blocks <= 0:
             return None
         M = min(self._blocks_to_boundary(), max_blocks)
 
         st = self.state
         t0 = self._epoch_time(self.jblk)
-        g_secs = np.empty(M + 1, dtype=np.float64)
-        g_weeks = np.empty(M + 1, dtype=np.int64)
-        rx = np.empty((M + 1, 3), dtype=np.float64)
-        for j in range(M + 1):
-            k = self.jblk + j
-            tk = self._epoch_time(k)
-            g_secs[j] = tk.sec
-            g_weeks[j] = tk.week
-            rx[j] = self.xyz[self._motion_index(k)]
+        ks = self.jblk + np.arange(M + 1)
+        g_secs, g_weeks = inc_gps_time_grid(self.g_start, _BLOCK_DT * ks)
+        if self.static_mode:
+            rx = np.broadcast_to(self.xyz[0], (M + 1, 3))
+        else:
+            rx = self.xyz[np.where(ks <= 0, 0, (ks - 1) % self.numd)]
 
         active = st.active.copy()
         # inactive slots get a nearby dummy g0 so masked lanes stay finite
@@ -138,7 +144,7 @@ class Scheduler:
         eph = self.rin.eph[self.ieph]
         params, carry = solve_superframe(
             eph, self.ionoutc, g_secs, g_weeks, rx, st.sv_idx, active,
-            g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT)
+            g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT, rho=rho)
 
         # carrier-phase chain across blocks (f64, per-block wrap like the
         # reference's per-sample wrap — equivalent to fp noise)
@@ -171,7 +177,7 @@ class Scheduler:
         self.jblk += M
         t_end = self._epoch_time(self.jblk)
         if int(round(t_end.sec * 10.0)) % 300 == 0:
-            self._boundary_update(t_end)
+            self._boundary_update(t_end, alloc_precomp)
         return plan
 
     def _bits_table(self) -> np.ndarray:
@@ -182,13 +188,20 @@ class Scheduler:
         bits = ((words[:, :, None] >> shifts) & 1).astype(np.int8)
         return (bits.reshape(MAX_CHAN, N_DWRD * 30) * 2 - 1).astype(np.int8)
 
-    def _boundary_update(self, grx: GpsTime) -> None:
+    def _boundary_update(self, grx: GpsTime,
+                         alloc_precomp: dict | None = None) -> None:
         st = self.state
+        cache = self.nav_cache
         # 1. nav message refresh (shift SF5, new frame) for active channels
         for c in range(MAX_CHAN):
             if st.prn[c] > 0:
-                g0 = lnav.generate_nav_msg(grx, st.sbf[c], st.dwrd[c],
-                                           init=False)
+                if cache is not None:
+                    g0, dwrd = cache.nav_msg(grx, st.sbf[c], st.dwrd[c],
+                                             init=False)
+                    st.dwrd[c] = dwrd
+                else:
+                    g0 = lnav.generate_nav_msg(grx, st.sbf[c], st.dwrd[c],
+                                               init=False)
                 st.g0_week[c] = g0.week
                 st.g0_sec[c] = g0.sec
         # 2. ephemeris-set rollover: rebuild subframes only (takes effect
@@ -199,8 +212,12 @@ class Scheduler:
             eph = self.rin.eph[self.ieph]
             for c in range(MAX_CHAN):
                 if st.prn[c] > 0:
-                    st.sbf[c] = lnav.eph_to_subframes(eph, int(st.prn[c]) - 1,
-                                                      self.ionoutc)
+                    st.sbf[c] = (cache.subframes(eph, int(st.prn[c]) - 1,
+                                                 self.ionoutc)
+                                 if cache is not None else
+                                 lnav.eph_to_subframes(eph, int(st.prn[c]) - 1,
+                                                       self.ionoutc))
         # 3. channel re-allocation (rise/set)
         allocate_channels(st, self.rin.eph[self.ieph], self.ionoutc, grx,
-                          self.xyz[self._motion_index(self.jblk)])
+                          self.xyz[self._motion_index(self.jblk)],
+                          precomp=alloc_precomp, nav_cache=cache)
