@@ -153,9 +153,17 @@ class MonteCarloBatch:
         return prmi, prmf, ca2, sf_map
 
     def generate(self, n_blocks: int, mesh=None, device=None,
-                 interpret: bool = False) -> np.ndarray:
-        """Synthesize [B, n_blocks, N, 2] int16 IQ in one kernel launch
-        over B*n_blocks blocks (sharded over `mesh` when given)."""
+                 interpret: bool = False,
+                 chunk_blocks: int | None = None) -> np.ndarray:
+        """Synthesize [B, n_blocks, N, 2] int16 IQ over B*n_blocks blocks
+        (sharded over `mesh` when given).
+
+        chunk_blocks bounds the blocks per kernel launch so the packed
+        output stays inside HBM at large B (each block's output is
+        ~4*block_samples bytes; e.g. B=256 x 300 blocks at 2.6 MHz is
+        80 GB — far beyond one chip).  The HOST array returned is still
+        B*n_blocks blocks; callers at that scale should consume
+        per-chunk instead (see plan_blocks + synth_blocks_pallas)."""
         import jax
 
         prmi, prmf, ca2, sf_map = self.plan_blocks(n_blocks)
@@ -164,17 +172,27 @@ class MonteCarloBatch:
             tpus = [d for d in jax.devices() if d.platform == "tpu"]
             device = tpus[0] if tpus else None
             interpret = not tpus
+        total = self.B * n_blocks
         if mesh is not None:
             prmi, prmf, sf_map = pad_time_shards(
                 prmi, prmf, sf_map, mesh.shape["time"])
             prmf_sh = shard_channel_params(prmf, mesh.shape["chan"])
             packed = np.asarray(synth_sharded(
                 mesh, prmi, prmf_sh, ca2, sf_map,
-                self.block_samples))[:self.B * n_blocks]
-        else:
+                self.block_samples))[:total]
+        elif chunk_blocks is None or chunk_blocks >= total:
             packed = np.asarray(sp.synth_blocks_pallas(
                 (prmi, prmf), ca2, sf_map, self.block_samples,
                 device=device, interpret=interpret))
+        else:
+            parts = []
+            for off in range(0, total, chunk_blocks):
+                hi = min(off + chunk_blocks, total)
+                parts.append(np.asarray(sp.synth_blocks_pallas(
+                    (prmi[off:hi], prmf[off:hi]), ca2, sf_map[off:hi],
+                    self.block_samples, device=device,
+                    interpret=interpret)))
+            packed = np.concatenate(parts, axis=0)
         n = self.block_samples
         iq16 = packed[:, :n].reshape(self.B, n_blocks, n).view(np.int16)
         return iq16.reshape(self.B, n_blocks, n, 2)

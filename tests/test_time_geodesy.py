@@ -109,3 +109,26 @@ def test_vmapped_geodesy():
     out = jax.vmap(xyz2llh)(pts)
     assert out.shape == (8, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_inc_gps_time_grid_matches_scalar():
+    """inc_gps_time_grid must be elementwise IEEE-identical to the
+    scalar inc_gps_time (it feeds the scheduler's epoch grid, where a
+    single-ulp difference moves the ms anchor)."""
+    from pluto_gps_sim_tpu.models.gpstime import (
+        GpsTime, inc_gps_time, inc_gps_time_grid)
+
+    for g0 in (GpsTime(2244, 172800.0),
+               GpsTime(2244, 259200.123),
+               GpsTime(2250, 604769.95)):   # 30 s shy of week rollover
+        dts = 0.1 * np.arange(901)          # 90 s grid
+        secs, weeks = inc_gps_time_grid(g0, dts)
+        for j in (0, 1, 299, 300, 301, 900):
+            want = inc_gps_time(g0, float(dts[j]))
+            assert secs[j] == want.sec, (g0, j, secs[j], want.sec)
+            assert weeks[j] == want.week, (g0, j)
+        # the rollover case must actually cross the week boundary
+    g0 = GpsTime(2250, 604769.95)
+    secs, weeks = inc_gps_time_grid(g0, 0.1 * np.arange(901))
+    assert weeks.min() == 2250 and weeks.max() == 2251
+    assert (secs < 604800.0).all() and (secs >= 0.0).all()
