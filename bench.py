@@ -15,6 +15,10 @@ Three measurements, one JSON line:
                         pack -> build_block_params -> H2D -> kernel ->
                         on-device checksum reduction (8 B D2H/superframe).
                         Everything except bulk IQ egress.
+  e2e_sustained_x       the same pipeline's MARGINAL rate between 120 s
+                        and 240 s runs — the flat per-call tunnel
+                        latency cancels, leaving the per-signal-second
+                        cost a directly attached host would sustain.
   e2e_delivered_x       same pipeline with the full int16 IQ fetched to
                         host NumPy and written to a null sink — the
                         delivered-samples contract (c:2152).  Limited by
@@ -177,20 +181,31 @@ def main() -> None:
     # (consumes every sample) -> 8 B D2H.  Median of 3.
     csum = jax.jit(lambda o: jnp.sum(o), device=tpu)
 
-    def e2e_device_once():
+    def e2e_device_once(k=n_sf):
+        """Returns (samples, seconds) for a k-superframe pipeline run."""
         t0 = time.time()
-        (prmi, prmf), ca_tabs, sf_map, bs = build_args(n_sf)
+        (prmi, prmf), ca_tabs, sf_map, bs = build_args(k)
+        fnk = sp._build_fn(sf_map.size, nt, k, True, False)
         with jax.enable_x64(False):
             args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
                          (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
                           sp._RAWTAB))
-            out = fn(*args)
+            out = fnk(*args)
             s = int(np.asarray(csum(out)))
         dt = time.time() - t0
         assert s != 0
-        return sf_map.size * bs / dt
+        return sf_map.size * bs, dt
 
-    e2e_dev = float(np.median([e2e_device_once() for _ in range(3)]))
+    e2e_device_once(8)   # compile-warm the 8-superframe shapes
+    runs4 = [e2e_device_once(4) for _ in range(3)]
+    runs8 = [e2e_device_once(8) for _ in range(3)]
+    e2e_dev = float(np.median([n / t for n, t in runs4]))
+    # sustained = marginal samples/s between 120 s and 240 s runs: the
+    # flat per-call tunnel latency (absent on attached hosts) cancels
+    d_samp = runs8[0][0] - runs4[0][0]
+    d_t = max(float(np.median([t for _, t in runs8]))
+              - float(np.median([t for _, t in runs4])), 1e-9)
+    e2e_sustained = d_samp / d_t
 
     # ---- end-to-end with delivered samples (tunnel-limited here) ----------
     # one 30 s superframe (312 MB of IQ): enough to saturate the D2H path
@@ -218,6 +233,7 @@ def main() -> None:
         "vs_baseline": round(rt_multiple, 1),
         "verify": "pallas==precise checksum ok",
         "e2e_device_x": round(e2e_dev / fs, 1),
+        "e2e_sustained_x": round(e2e_sustained / fs, 1),
         "e2e_delivered_x": round(e2e_del / fs, 1),
     }))
 

@@ -90,3 +90,15 @@ def test_mc_mesh_padding_small_batch(scenario):
     mc2 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
     ref = mc2.generate(n_blocks=1, interpret=True)
     assert np.array_equal(iq, ref)
+
+
+def test_mc_chunked_launches_match_single(scenario):
+    """generate(chunk_blocks=...) must be bit-identical to one launch
+    (it exists to bound HBM at B=256-scale batches)."""
+    rin, g0, ieph = scenario
+    xyz = _perturbed_receivers(3)
+    mc1 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    one = mc1.generate(n_blocks=4, interpret=True)
+    mc2 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+    chunked = mc2.generate(n_blocks=4, interpret=True, chunk_blocks=5)
+    assert np.array_equal(one, chunked)
