@@ -135,8 +135,9 @@ def main() -> None:
     # section times the synthesis kernel, not the tunnel
     block_samples = raw[0][3]
     M = raw[0][2].size
-    nt = -(-block_samples // sp.TILE_SAMPLES)
-    fn = sp._build_fn(M, nt, n_sf, True, False)
+    tile = sp.choose_tile(block_samples)
+    nt = -(-block_samples // tile)
+    fn = sp._build_fn(M, nt, n_sf, True, False, tile)
     argsets = []
     with jax.enable_x64(False):
         for (prmi, prmf), ca_tabs, sf_map, _ in raw:
@@ -185,7 +186,7 @@ def main() -> None:
         """Returns (samples, seconds) for a k-superframe pipeline run."""
         t0 = time.time()
         (prmi, prmf), ca_tabs, sf_map, bs = build_args(k)
-        fnk = sp._build_fn(sf_map.size, nt, k, True, False)
+        fnk = sp._build_fn(sf_map.size, nt, k, True, False, tile)
         with jax.enable_x64(False):
             args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
                          (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
@@ -213,7 +214,7 @@ def main() -> None:
     def e2e_delivered_once():
         t0 = time.time()
         (prmi, prmf), ca_tabs, sf_map, bs = build_args(1)
-        fn1 = sp._build_fn(sf_map.size, nt, 1, True, False)
+        fn1 = sp._build_fn(sf_map.size, nt, 1, True, False, tile)
         with jax.enable_x64(False):
             args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
                          (sf_map.astype(np.int32), prmi, prmf, ca_tabs,

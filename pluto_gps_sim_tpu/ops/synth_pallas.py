@@ -76,7 +76,7 @@ from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
-           "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
+           "choose_tile", "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
 
 # Q24 code-NCO range bound: the per-sample integer residual ramp r24*n
 # (r24 <= 4095) must stay inside int32, so blocks are capped at 524k
@@ -84,8 +84,15 @@ __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
 # caps at 5 MHz, c:2372-2375)
 MAX_BLOCK_SAMPLES = 524_000
 
-TILE_SAMPLES = 65536         # 512 sublanes x 128 lanes of int32
-_SUB = 512
+# Tile height is chosen per block size by choose_tile(): larger tiles
+# amortize per-grid-cell scalar work (measured at fs=2.6 MHz:
+# 512 -> 3.3, 1024 -> 3.9, 2048 -> 3.6 Gsps; 1024 is the sweet spot —
+# beyond it the working set starts thrashing VMEM-level locality) but
+# pad the last tile of each block, so the selector picks, among the
+# candidates minimizing padding, the earliest in this preference order.
+TILE_CANDIDATE_SUBS = (1024, 2048, 512, 256)
+TILE_SAMPLES = 131072        # default: 1024 sublanes x 128 lanes of int32
+_SUB = 1024
 _LANES = 128
 _C = MAX_CHAN
 
@@ -104,7 +111,7 @@ _INV1023 = np.float32(np.nextafter(np.float32(1.0 / 1023.0),
 
 
 def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
-            *out_and_scratch):
+            *out_and_scratch, SUB=_SUB):
     out_refs = out_and_scratch[:-1]
     out_ref = out_refs[0] if len(out_refs) == 1 else list(out_refs)
     acc_scr = out_and_scratch[-1]
@@ -117,12 +124,12 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
         return prmf_ref[0, 0, col + c]
 
     # --- per-sample index ramps ------------------------------------------
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
-    n = t * TILE_SAMPLES + sub * _LANES + lane
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, _LANES), 1)
+    n = t * (SUB * _LANES) + sub * _LANES + lane
     nf = n.astype(jnp.float32)
 
-    acc_scr[0] = jnp.zeros((_SUB, _LANES), jnp.int32)
+    acc_scr[0] = jnp.zeros((SUB, _LANES), jnp.int32)
 
     # executed-channel count for the bias epilogue (scalar-unit ops);
     # counting in-kernel keeps channel-sharded runs exact, where other
@@ -173,7 +180,7 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
 
           # C/A chip sign: bit-packed word gather + variable shift
-          wrow = jnp.broadcast_to(ca2_ref[0, c, 0, :], (_SUB, _LANES))
+          wrow = jnp.broadcast_to(ca2_ref[0, c, 0, :], (SUB, _LANES))
           word = jnp.take_along_axis(
               wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
           cbit = jax.lax.shift_right_logical(
@@ -184,7 +191,7 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           # + complement low, q2 = complement both, q3 = swap halves +
           # complement high (complements are around 1026 = 2 + 2*512,
           # the half-wave offset plus twice the pair bias)
-          rawrow = jnp.broadcast_to(rawtab_ref[0, :], (_SUB, _LANES))
+          rawrow = jnp.broadcast_to(rawtab_ref[0, :], (SUB, _LANES))
           praw = jnp.take_along_axis(rawrow, ilo, axis=1)
           # quadrants factor: q2 = C - q0 and q3 = C - q1 (C = 1026 per
           # half), so select q0/q1 by bit7 first, then complement both
@@ -233,9 +240,23 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
             jax.lax.shift_left(q_val, jnp.int32(16))
 
 
+def choose_tile(block_samples: int) -> int:
+    """Largest candidate tile (samples) minimizing per-block padding."""
+    best = None
+    for pref, sub in enumerate(TILE_CANDIDATE_SUBS):
+        tile = sub * _LANES
+        padded = -(-block_samples // tile) * tile
+        if best is None or (padded, pref) < best[:2]:
+            best = (padded, pref, tile)
+    return best[2]
+
+
 @functools.cache
 def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
-              packed: bool = True, interpret: bool = False):
+              packed: bool = True, interpret: bool = False,
+              tile: int = TILE_SAMPLES):
+    sub = tile // _LANES
+    kernel = functools.partial(_kernel, SUB=sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sf_map
         grid=(n_blocks, n_tiles),
@@ -249,20 +270,20 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
                          memory_space=pltpu.VMEM),       # C/A bit tables
             pl.BlockSpec(memory_space=pltpu.VMEM),       # raw pairs [1,128]
         ],
-        out_specs=(pl.BlockSpec((1, 1, _SUB, _LANES),
+        out_specs=(pl.BlockSpec((1, 1, sub, _LANES),
                                 lambda b, t, sf_map: (b, t, 0, 0),
                                 memory_space=pltpu.VMEM) if packed else
-                   tuple(pl.BlockSpec((1, 1, _SUB, _LANES),
+                   tuple(pl.BlockSpec((1, 1, sub, _LANES),
                                       lambda b, t, sf_map: (b, t, 0, 0),
                                       memory_space=pltpu.VMEM)
                          for _ in range(2))),
         scratch_shapes=[
-            pltpu.VMEM((1, _SUB, _LANES), jnp.int32),
+            pltpu.VMEM((1, sub, _LANES), jnp.int32),
         ],
     )
-    one = jax.ShapeDtypeStruct((n_blocks, n_tiles, _SUB, _LANES), jnp.int32)
+    one = jax.ShapeDtypeStruct((n_blocks, n_tiles, sub, _LANES), jnp.int32)
     out_shape = one if packed else (one, one)
-    call = pl.pallas_call(_kernel, out_shape=out_shape,
+    call = pl.pallas_call(kernel, out_shape=out_shape,
                           grid_spec=grid_spec, interpret=interpret)
 
     def fn(sf_map, prmi, prmf, ca_tabs, rawtab):
@@ -417,8 +438,9 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     block_samples and .view(int16) for the interleaved stream."""
     prmi, prmf = prm
     M = prmi.shape[0]
-    nt = -(-block_samples // TILE_SAMPLES)
-    fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret)
+    tile = choose_tile(block_samples)
+    nt = -(-block_samples // tile)
+    fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),
             jnp.asarray(_RAWTAB)]
@@ -429,5 +451,5 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     with jax.enable_x64(False):
         out = fn(*args)
     if packed:
-        return out.reshape(M, nt * TILE_SAMPLES)
-    return tuple(o.reshape(M, nt * TILE_SAMPLES) for o in out)
+        return out.reshape(M, nt * tile)
+    return tuple(o.reshape(M, nt * tile) for o in out)

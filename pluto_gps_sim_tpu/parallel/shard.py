@@ -73,7 +73,7 @@ def synth_sharded(mesh: Mesh, prmi: np.ndarray, prmf_sharded: np.ndarray,
     if M % n_time:
         raise ValueError(f"blocks ({M}) must divide time shards ({n_time})")
 
-    nt = -(-block_samples // sp.TILE_SAMPLES)
+    nt = -(-block_samples // sp.choose_tile(block_samples))
 
     def local(prmi_l, prmf_l, ca2, sf_l):
         i_acc, q_acc = sp.synth_blocks_pallas(

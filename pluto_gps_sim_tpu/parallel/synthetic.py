@@ -34,7 +34,7 @@ def synthetic_params(n_blocks: int, block_samples: int, seed: int = 3):
     z3 = np.zeros((M, C, 1), np.int32)
     dp = DevicePlan(
         n_blocks=M, block_samples=block_samples,
-        n_tiles=-(-block_samples // sp.TILE_SAMPLES),
+        n_tiles=-(-block_samples // sp.choose_tile(block_samples)),
         ca2=(CA_TABLE[:C] * 2 - 1).astype(np.int8),
         bits=rng.choice([-1, 1], (C, 1800)).astype(np.int8),
         active=np.ones((M, C), bool),
