@@ -202,11 +202,14 @@ def main() -> None:
     runs8 = [e2e_device_once(8) for _ in range(3)]
     e2e_dev = float(np.median([n / t for n, t in runs4]))
     # sustained = marginal samples/s between 120 s and 240 s runs: the
-    # flat per-call tunnel latency (absent on attached hosts) cancels
+    # flat per-call tunnel latency (absent on attached hosts) cancels.
+    # Guard against tunnel-noise inversions (median t8 <= median t4):
+    # report null rather than a nonsense multiple.
     d_samp = runs8[0][0] - runs4[0][0]
-    d_t = max(float(np.median([t for _, t in runs8]))
-              - float(np.median([t for _, t in runs4])), 1e-9)
-    e2e_sustained = d_samp / d_t
+    t4m = float(np.median([t for _, t in runs4]))
+    t8m = float(np.median([t for _, t in runs8]))
+    d_t = t8m - t4m
+    e2e_sustained = d_samp / d_t if d_t > 0.05 * t4m else None
 
     # ---- end-to-end with delivered samples (tunnel-limited here) ----------
     # one 30 s superframe (312 MB of IQ): enough to saturate the D2H path
@@ -214,6 +217,8 @@ def main() -> None:
     def e2e_delivered_once():
         t0 = time.time()
         (prmi, prmf), ca_tabs, sf_map, bs = build_args(1)
+        # shape compiled by the warm-up call below; timing a first-time
+        # Mosaic compile here would masquerade as delivery cost
         fn1 = sp._build_fn(sf_map.size, nt, 1, True, False, tile)
         with jax.enable_x64(False):
             args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
@@ -225,6 +230,7 @@ def main() -> None:
         assert iq.shape == (sf_map.size, bs)
         return sf_map.size * bs / dt
 
+    e2e_delivered_once()   # compile-warm the (M=300, n_sf=1) shapes
     e2e_del = e2e_delivered_once()
 
     print(json.dumps({
@@ -234,7 +240,8 @@ def main() -> None:
         "vs_baseline": round(rt_multiple, 1),
         "verify": "pallas==precise checksum ok",
         "e2e_device_x": round(e2e_dev / fs, 1),
-        "e2e_sustained_x": round(e2e_sustained / fs, 1),
+        "e2e_sustained_x": (round(e2e_sustained / fs, 1)
+                            if e2e_sustained else None),
         "e2e_delivered_x": round(e2e_del / fs, 1),
     }))
 

@@ -332,13 +332,14 @@ def main(argv: list[str] | None = None) -> int:
         for sf in stream.superframes(n_blocks_total):
             try:
                 sink.write(sf)
+                produced += sf.shape[0]
             except (BrokenPipeError, IOError) as e:
                 # consumer went away (pipe closed, SDR unplugged,
                 # ring-writer I/O error): stop cleanly, like the
-                # reference's TX-failure exit flag (c:2182)
+                # reference's TX-failure exit flag (c:2182); the failed
+                # superframe is not counted as delivered
                 print(f"\nOutput closed ({e}); stopping.", file=sys.stderr)
                 stop["flag"] = True
-            produced += sf.shape[0]
             if args.verbose:
                 el = time.time() - t_start
                 print(f"\rTime = {produced / 10.0:4.1f}s "

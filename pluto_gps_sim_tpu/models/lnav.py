@@ -284,8 +284,11 @@ class NavCache:
     (sbf content, frame time, previous-frame SF5 for the slot-0 chain,
     c:1853-1859).  With B receivers sharing one scenario clock, the
     per-boundary nav regeneration is ~12 unique (PRN, time) products
-    instead of 12*B — keys are content hashes, so ephemeris rollovers
-    and per-receiver allocation times cannot alias."""
+    instead of 12*B.  Transmit-buffer keys are content hashes; subframe
+    keys pair the ephemeris-set object identity (the cache holds a
+    reference, so the id cannot be recycled) with every iono/UTC field
+    that eph_to_subframes encodes — rollovers and per-receiver
+    allocation times cannot alias."""
 
     def __init__(self):
         self._sbf: dict = {}
@@ -294,14 +297,22 @@ class NavCache:
         self.misses = 0
 
     def subframes(self, eph, sv: int, ionoutc: IonoUtc) -> np.ndarray:
-        key = (id(eph), sv, bool(ionoutc.vflg), bool(ionoutc.enable))
-        out = self._sbf.get(key)
-        if out is None:
+        iono_key = tuple(
+            float(getattr(ionoutc, f)) for f in
+            ("alpha0", "alpha1", "alpha2", "alpha3",
+             "beta0", "beta1", "beta2", "beta3",
+             "A0", "A1", "tot", "wnt", "dtls")) + (
+            bool(ionoutc.vflg), bool(ionoutc.enable))
+        key = (id(eph), sv, iono_key)
+        hit = self._sbf.get(key)
+        if hit is None:
             self.misses += 1
             out = eph_to_subframes(eph, sv, ionoutc)
-            self._sbf[key] = out
+            # keep eph alive so id(eph) cannot be recycled by a new set
+            self._sbf[key] = (out, eph)
         else:
             self.hits += 1
+            out = hit[0]
         return out.copy()
 
     def nav_msg(self, g: GpsTime, sbf: np.ndarray,

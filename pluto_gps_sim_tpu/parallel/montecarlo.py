@@ -37,7 +37,7 @@ import numpy as np
 
 from ..ingest.rinex import RinexResult
 from ..models import orbits
-from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
+from ..models.gpstime import GpsTime
 from ..models.lnav import NavCache
 from ..ops import synth_pallas as sp
 from ..ops.epoch import solve_ranges, solve_ranges_batch
@@ -107,24 +107,21 @@ class MonteCarloBatch:
         done = 0
         while done < n_blocks:
             s0 = self.scheds[0]
-            # shared epoch grid for this round (same clock for all b)
-            M = min(s0._blocks_to_boundary(), n_blocks - done)
-            t0 = s0._epoch_time(s0.jblk)
-            ks = s0.jblk + np.arange(M + 1)
-            g_secs, _ = inc_gps_time_grid(s0.g_start, 0.1 * ks)
-            midx = np.where(ks <= 0, 0, (ks - 1))
-            rx = np.stack([
-                np.broadcast_to(s.xyz[0], (M + 1, 3)) if s.static_mode
-                else s.xyz[midx % s.numd]
-                for s in self.scheds])                     # [B, M+1, 3]
+            # shared clock: every scheduler's next plan covers the same
+            # span, over the SAME grid arrays plan() itself would build
+            M, t_end, boundary = s0.next_plan_span(n_blocks - done)
+            g_secs, _, _ = s0.epoch_grid(M)
+            rx = np.stack([s.epoch_grid(M)[2] for s in self.scheds])
             eph = self.rin.eph[s0.ieph]
             rho_b = solve_ranges_batch(eph, self.rin.ionoutc, g_secs, rx)
+            # materialize ONCE: per-receiver dict slices below must be
+            # plain numpy, not B x n_keys lazy device fetches
+            rho_b = {k: np.asarray(v) for k, v in rho_b.items()}
 
             # boundary-allocation precomp (with the eph set in effect
             # AFTER the clock-driven rollover check, c:2774-2790)
-            t_end = inc_gps_time(t0, 0.1 * M)
             pre = None
-            if int(round(t_end.sec * 10.0)) % 300 == 0:
+            if boundary:
                 ieph_next = scenario_mod.advance_ephemeris_set(
                     self.rin, s0.ieph, t_end)
                 pre = self._alloc_precomp(self.rin.eph[ieph_next], t_end,

@@ -105,6 +105,29 @@ class Scheduler:
             return 0
         return (k - 1) % self.numd
 
+    def epoch_grid(self, M: int):
+        """The (M+1)-epoch grid for the next M blocks: (g_secs, g_weeks,
+        rx) — the exact arrays plan() solves over.  Exposed so batched
+        control planes (parallel/montecarlo.py) can precompute the range
+        solve on the identical grid."""
+        ks = self.jblk + np.arange(M + 1)
+        g_secs, g_weeks = inc_gps_time_grid(self.g_start, _BLOCK_DT * ks)
+        if self.static_mode:
+            rx = np.broadcast_to(self.xyz[0], (M + 1, 3))
+        else:
+            rx = self.xyz[np.where(ks <= 0, 0, (ks - 1) % self.numd)]
+        return g_secs, g_weeks, rx
+
+    def next_plan_span(self, max_blocks: int):
+        """(M, t_end, boundary) for the NEXT plan(max_blocks) call:
+        how many blocks it will cover, the time it ends at, and whether
+        that end is a 30 s boundary (where nav refresh / rollover /
+        re-allocation run, c:2762-2798)."""
+        M = min(self._blocks_to_boundary(), max_blocks)
+        t_end = self._epoch_time(self.jblk + M)
+        boundary = int(round(t_end.sec * 10.0)) % 300 == 0
+        return M, t_end, boundary
+
     def _blocks_to_boundary(self) -> int:
         """Blocks from the current anchor to the next 30 s boundary."""
         t0 = self._epoch_time(self.jblk)
@@ -129,12 +152,7 @@ class Scheduler:
 
         st = self.state
         t0 = self._epoch_time(self.jblk)
-        ks = self.jblk + np.arange(M + 1)
-        g_secs, g_weeks = inc_gps_time_grid(self.g_start, _BLOCK_DT * ks)
-        if self.static_mode:
-            rx = np.broadcast_to(self.xyz[0], (M + 1, 3))
-        else:
-            rx = self.xyz[np.where(ks <= 0, 0, (ks - 1) % self.numd)]
+        g_secs, g_weeks, rx = self.epoch_grid(M)
 
         active = st.active.copy()
         # inactive slots get a nearby dummy g0 so masked lanes stay finite

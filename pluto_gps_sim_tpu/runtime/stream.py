@@ -77,26 +77,39 @@ class IqStream:
         *yielded* superframe, not the dispatched-ahead scheduler state.
         """
         remaining = n_blocks_total
-        pending = None  # (device handle, resume snapshot after it)
-        while True:
-            nxt = None
-            if remaining is None or remaining > 0:
-                todo = max_blocks if remaining is None else \
-                    min(remaining, max_blocks)
-                plan = self.sched.plan(todo)
-                if plan is not None:
-                    if remaining is not None:
-                        remaining -= plan.n_blocks
-                    handle = self._dispatch(self._pack(plan))
-                    nxt = (handle, self._state_snapshot())
-            if pending is not None:
-                handle, snap = pending
-                out = self._finish(handle)
-                self._yield_snap = snap
-                yield out
-            if nxt is None:
-                return
-            pending = nxt
+        pending = None  # (handle, snap before its plan, snap after)
+        nxt = None
+        try:
+            while True:
+                nxt = None
+                if remaining is None or remaining > 0:
+                    todo = max_blocks if remaining is None else \
+                        min(remaining, max_blocks)
+                    before = self._state_snapshot()
+                    plan = self.sched.plan(todo)
+                    if plan is not None:
+                        if remaining is not None:
+                            remaining -= plan.n_blocks
+                        handle = self._dispatch(self._pack(plan))
+                        nxt = (handle, before, self._state_snapshot())
+                if pending is not None:
+                    handle, _, snap_after = pending
+                    out = self._finish(handle)
+                    pending = None
+                    self._yield_snap = snap_after
+                    yield out  # abandonment suspends HERE, with nxt live
+                if nxt is None:
+                    return
+                pending = nxt
+        finally:
+            unyielded = pending if pending is not None else nxt
+            if unyielded is not None:
+                # the generator was abandoned with a superframe planned
+                # and dispatched but never yielded: roll the scheduler
+                # back so a later superframes()/generate() call resumes
+                # exactly after the last DELIVERED superframe instead of
+                # silently skipping up to 30 s of signal
+                self.restore(unyielded[1])
 
     def generate(self, n_blocks_total: int) -> np.ndarray:
         """Generate the whole scenario into one array [blocks, N, 2]."""

@@ -102,3 +102,28 @@ def test_mc_chunked_launches_match_single(scenario):
     mc2 = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
     chunked = mc2.generate(n_blocks=4, interpret=True, chunk_blocks=5)
     assert np.array_equal(one, chunked)
+
+
+def test_mc_boundary_branch_matches_individual(scenario):
+    """Exercise the batched 30 s-boundary path (alloc precomp with the
+    post-rollover eph set, shared NavCache init=False refresh) by
+    starting 0.4 s before a boundary: plan 8 blocks -> the first plan
+    hits the boundary, the second continues past it.  Must equal the
+    unbatched per-receiver streams bit-for-bit."""
+    from pluto_gps_sim_tpu.models.gpstime import inc_gps_time
+
+    rin, g0, ieph = scenario
+    # move the scenario clock to 0.4 s before the next 30 s boundary
+    rem = (30.0 - (g0.sec % 30.0)) % 30.0
+    g0b = inc_gps_time(g0, rem + 30.0 - 0.4)
+    xyz = _perturbed_receivers(3)
+
+    mc = MonteCarloBatch(rin, g0b, ieph, xyz, fs=FS, block_samples=BS)
+    batch = mc.generate(n_blocks=8, interpret=True)
+    assert mc.nav_cache.hits > 0, "shared nav cache never hit"
+
+    for b in range(xyz.shape[0]):
+        solo = IqStream(rin, g0b, ieph, xyz[b], fs=FS, block_samples=BS,
+                        mode="pallas").generate(8)
+        assert np.array_equal(batch[b], solo), f"receiver {b} diverges " \
+            "across the 30 s boundary"

@@ -180,3 +180,23 @@ def test_channel_exhaustion_more_visible_than_slots(rinex):
     # stream still synthesizes fine at full occupancy
     plan = sched.plan(1)
     assert plan.active[0].sum() == 12
+
+
+def test_abandoned_generator_rolls_back(rinex):
+    """Breaking out of superframes() (the generator runs one dispatched
+    superframe ahead) must not skip signal: a later generate() resumes
+    exactly after the last YIELDED superframe."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    ref = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled").generate(9)
+
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    got = []
+    for sf in s.superframes(None, max_blocks=3):
+        got.append(sf)
+        if len(got) == 2:
+            break          # abandon with superframe 3 already dispatched
+    got.append(s.generate(3))          # must be blocks 6..8, not 9..11
+    got = np.concatenate(got, axis=0)
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref), "abandoned generator skipped signal"
