@@ -174,6 +174,35 @@ def test_ring_writer_pacing(tmp_path):
     assert 0.25 <= dt <= 1.5, f"paced drain took {dt:.3f}s, expected ~0.36s"
 
 
+def test_ring_writer_partial_chunk_pacing(tmp_path):
+    """Sustained partial-chunk pops must pace to bytes_per_sec, not to
+    whole-chunk periods (the round-1 deadline advanced by
+    ceil(n/chunk) periods, slowing the stream whenever the producer
+    trickled less than a chunk at a time)."""
+    path = str(tmp_path / "partial.bin")
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT, 0o644)
+    rate = 1_000_000.0
+    chunk = 50_000
+    try:
+        rw = RingWriter(fd, capacity=4 * chunk, bytes_per_sec=rate,
+                        chunk_bytes=chunk)
+    except NativeBuildError as e:
+        pytest.skip(f"no native toolchain: {e}")
+    piece = np.zeros(chunk // 4, dtype=np.int8)   # quarter-chunk pieces
+    t0 = time.time()
+    for _ in range(24):                           # 300k bytes total
+        rw.push(piece)
+        time.sleep(0.005)   # trickle: consumer usually sees partials
+    rw.close()
+    dt = time.time() - t0
+    os.close(fd)
+    assert os.path.getsize(path) == 24 * piece.nbytes
+    # 300 kB at 1 MB/s ~= 0.3 s; the old whole-chunk rounding paced a
+    # quarter-chunk pop as a FULL chunk period (4x slow -> ~1.2 s)
+    assert dt <= 0.8, f"partial-chunk drain took {dt:.3f}s (paced slow)"
+    assert dt >= 0.15, f"drained in {dt:.3f}s - pacing not applied"
+
+
 def test_udp_realtime_pacing(tmp_path):
     """Native datagram pacing: fixed-size packets at ~4*fs bytes/s."""
     from pluto_gps_sim_tpu.runtime.sinks import UdpRealtimeSink
