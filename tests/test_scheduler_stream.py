@@ -200,3 +200,28 @@ def test_abandoned_generator_rolls_back(rinex):
     got = np.concatenate(got, axis=0)
     assert got.shape == ref.shape
     assert np.array_equal(got, ref), "abandoned generator skipped signal"
+
+
+def test_stream_across_gps_week_rollover(rinex, fixture_paths):
+    """A stream crossing the GPS week boundary (sec wraps 604800 -> 0,
+    week increments) must stay finite, split-invariantly, with active
+    channels — the epoch anchor is week-aware (epoch.py t_anchor)."""
+    from pluto_gps_sim_tpu.ingest import read_rinex2
+    from pluto_gps_sim_tpu.models.gpstime import GpsTime
+
+    rin = read_rinex2(fixture_paths["rinex2"])  # fresh copy (mutated below)
+    # time-overwrite the ephemerides so the scenario starts 1.2 s before
+    # the week boundary (aligned down to a 7200 s boundary internally)
+    target = GpsTime(2260, 604800.0 - 1.2)
+    g0 = setup_scenario(rin, target, timeoverwrite=True)
+    ieph = select_ephemeris_set(rin, g0)
+
+    s = IqStream(rin, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    a = s.generate(24)            # 2.4 s: blocks 12.. are in week 2261
+    assert s.sched._epoch_time(s.sched.jblk).week == 2261
+    assert np.abs(a).max() > 0, "silent stream across week rollover"
+    assert a.shape[0] == 24
+
+    s2 = IqStream(rin, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    b = np.concatenate(list(s2.superframes(24, max_blocks=5)), axis=0)
+    assert np.array_equal(a, b), "week rollover breaks split invariance"
