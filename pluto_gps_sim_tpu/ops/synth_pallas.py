@@ -442,6 +442,11 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     M = prmi.shape[0]
     tile = choose_tile(block_samples)
     nt = -(-block_samples // tile)
+    # the kernel evaluates the NCO ramps over the PADDED sample range
+    # [0, nt*tile); the Q24/Q36 integer levels (r <= 4095) stay inside
+    # int32 for n <= (2^31-1)/4095 = 524417
+    assert nt * tile <= 524_416, \
+        f"padded block ({nt * tile}) exceeds the Q24/Q36 ramp range"
     fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),

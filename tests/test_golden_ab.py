@@ -313,8 +313,13 @@ def test_pallas_matches_precise(fixture_paths):
                    (packed[:, :n] >> 16).astype(np.int16)], axis=-1)
     snr = _snr_db(golden.reshape(-1), iq.reshape(-1))
     exact = float(np.mean(golden == iq))
+    max_err = int(np.abs(iq.astype(np.int64)
+                         - golden.astype(np.int64)).max())
     assert snr >= 70.0, f"pallas vs precise SNR {snr:.1f} dB"
-    assert exact >= 0.999
+    assert exact >= 0.9999, f"bit-exact {exact:.6%}"
+    # discrimination: adjacent-LUT picks are few-LSB; any chip/nav flip
+    # is ~2*512*gain and must fail
+    assert max_err <= 16, f"max component err {max_err} (chip/nav flip?)"
 
 
 def test_golden_10s_drift(oracle_exe, tmp_path, fixture_paths):
