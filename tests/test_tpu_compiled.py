@@ -84,3 +84,19 @@ def test_compiled_tiled_vs_precise(fixture_paths):
     golden = synth_superframe_precise(dp)
     got = synth_superframe_tiled(dp, device=_tpu())
     _assert_tracks_precise(got, golden, "compiled tiled")
+
+
+def test_compiled_pallas_fs5mhz(fixture_paths):
+    """fs=5 MHz: 500k-sample blocks stress the top of the Q24/Q36 ramp
+    range (padded n reaches 524287 of the 524417 bound)."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import synth_superframe_precise
+    dp = _scenario(fixture_paths, fs=5_000_000.0)
+    golden = synth_superframe_precise(dp)
+    out = np.asarray(sp.synth_blocks_pallas(
+        sp.build_block_params(dp), sp.pack_ca_tables([dp.ca2]),
+        np.zeros(dp.n_blocks, np.int32), dp.block_samples,
+        device=_tpu()))[:, :dp.block_samples]
+    got = np.stack([(out & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (out >> 16).astype(np.int16)], axis=-1)
+    _assert_tracks_precise(got, golden, "compiled pallas fs=5MHz")
