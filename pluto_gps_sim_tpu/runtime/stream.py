@@ -64,7 +64,8 @@ class IqStream:
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
 
     def superframes(self, n_blocks_total: int | None,
-                    max_blocks: int = 300) -> Iterator[np.ndarray]:
+                    max_blocks: int = 300,
+                    as_device: bool = False) -> Iterator:
         """Yield superframes covering n_blocks_total 0.1 s blocks
         (None = endless).
 
@@ -75,6 +76,12 @@ class IqStream:
         is the producer/TX double buffer, c:2689-2759).  snapshot()
         during iteration returns the resume point right after the last
         *yielded* superframe, not the dispatched-ahead scheduler state.
+
+        as_device=True yields the raw device output instead of host
+        int16 [M, N, 2] — for the pallas path, packed int32 IQ
+        [M, nt*tile] still on the TPU — so device-side consumers
+        (reductions, swarm statistics, a device-resident downstream DSP
+        stage) skip the host fetch entirely.
         """
         remaining = n_blocks_total
         pending = None  # (handle, snap before its plan, snap after)
@@ -94,7 +101,7 @@ class IqStream:
                         nxt = (handle, before, self._state_snapshot())
                 if pending is not None:
                     handle, _, snap_after = pending
-                    out = self._finish(handle)
+                    out = handle[1] if as_device else self._finish(handle)
                     pending = None
                     self._yield_snap = snap_after
                     yield out  # abandonment suspends HERE, with nxt live

@@ -225,3 +225,18 @@ def test_stream_across_gps_week_rollover(rinex, fixture_paths):
     s2 = IqStream(rin, g0, ieph, _xyz(), fs=FS, mode="tiled")
     b = np.concatenate(list(s2.superframes(24, max_blocks=5)), axis=0)
     assert np.array_equal(a, b), "week rollover breaks split invariance"
+
+
+def test_superframes_as_device_matches_host(rinex):
+    """as_device=True yields the device-resident output whose host
+    conversion equals the normal host path (device-side consumers)."""
+    import numpy as _np
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    host = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                    block_samples=16384).generate(3)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                 block_samples=16384)
+    dev = [_np.asarray(x) for x in s.superframes(3, as_device=True)]
+    assert _np.array_equal(_np.concatenate(dev, axis=0), host)
