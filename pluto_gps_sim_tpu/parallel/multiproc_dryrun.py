@@ -58,7 +58,7 @@ def worker_body(pid: int, nproc: int) -> None:
     grid = np.asarray(devs).reshape(nproc, LOCAL_DEVICES).T
     mesh = Mesh(grid, axis_names=("time", "chan"))
 
-    block_samples = sp.TILE_SAMPLES
+    block_samples = 32768        # tiny blocks: correctness only
     n_blocks = 2 * mesh.shape["time"]
     prmi, prmf, ca_tabs, sf_map = synthetic_params(n_blocks, block_samples)
     prmf_sh = shard_channel_params(prmf, mesh.shape["chan"])
