@@ -121,3 +121,35 @@ def test_soak_one_hour_stream(fixture_paths):
     assert np.array_equal(a, b), "resume splice mismatch"
     print(f"1-hour soak: {done} blocks, PRNs seen {sorted(seen_prn)}, "
           f"rollover ok, resume splice ok")
+
+
+def test_soak_user_motion_10s_vs_oracle(oracle_exe, tmp_path, fixture_paths):
+    """10 s dynamic-motion A/B: exercises 100 distinct receiver
+    positions (the circle CSV at 10 Hz) and the (k-1) mod numd motion
+    indexing over a span the 0.4 s golden cannot."""
+    from pluto_gps_sim_tpu.ingest import read_user_motion
+
+    n_blocks = 100
+    cap = str(tmp_path / "motion10.bin")
+    harness.run_oracle(oracle_exe, fixture_paths["rinex2"], cap,
+                       n_blocks + 20,
+                       extra_args=["-u", fixture_paths["motion"]],
+                       push_sleep_ms=60, timeout=300.0)
+    ref = harness.load_capture(cap)
+    assert ref.shape[0] >= n_blocks
+    ref = ref[:n_blocks]
+
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = read_user_motion(fixture_paths["motion"])
+    stream = IqStream(rin, g0, ieph, xyz, fs=3_000_000.0,
+                      static_mode=False, mode="tiled")
+    ours = stream.generate(n_blocks)
+
+    r = ref.astype(np.float64).reshape(-1)
+    d_ = r - ours.astype(np.float64).reshape(-1)
+    snr = 10 * np.log10(np.mean(r**2) / max(np.mean(d_**2), 1e-30))
+    exact = float(np.mean(ref == ours))
+    print(f"motion 10s: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+    assert snr >= 75.0 and exact >= 0.999
