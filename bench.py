@@ -183,6 +183,15 @@ def main() -> None:
     msps = samples / dt / 1e6
     rt_multiple = msps * 1e6 / fs
 
+    def _metric(fn_):
+        """Secondary metrics must not kill the bench on a transient
+        tunnel failure; report null instead."""
+        try:
+            return fn_()
+        except Exception as e:
+            print(f"WARNING: secondary metric failed: {e}", file=sys.stderr)
+            return None
+
     # ---- end-to-end pipeline (device-side consumption) --------------------
     # Full production path per 120 s of signal: host plan -> pack ->
     # build params -> H2D -> one kernel call -> on-device checksum
@@ -204,19 +213,28 @@ def main() -> None:
         assert s != 0
         return sf_map.size * bs, dt
 
-    e2e_device_once(8)   # compile-warm the 8-superframe shapes
-    runs4 = [e2e_device_once(4) for _ in range(3)]
-    runs8 = [e2e_device_once(8) for _ in range(3)]
-    e2e_dev = float(np.median([n / t for n, t in runs4]))
-    # sustained = marginal samples/s between 120 s and 240 s runs: the
-    # flat per-call tunnel latency (absent on attached hosts) cancels.
-    # Guard against tunnel-noise inversions (median t8 <= median t4):
-    # report null rather than a nonsense multiple.
-    d_samp = runs8[0][0] - runs4[0][0]
-    t4m = float(np.median([t for _, t in runs4]))
-    t8m = float(np.median([t for _, t in runs8]))
-    d_t = t8m - t4m
-    e2e_sustained = d_samp / d_t if d_t > 0.05 * t4m else None
+    def _e2e_pair():
+        e2e_device_once(8)   # compile-warm the 8-superframe shapes
+        runs4 = [e2e_device_once(4) for _ in range(2)]
+        runs8 = [e2e_device_once(8) for _ in range(2)]
+        dev = float(np.median([n / t for n, t in runs4]))
+        # sustained = marginal samples/s between 120 s and 240 s runs:
+        # the flat per-call tunnel latency (absent on attached hosts)
+        # cancels.  Guard against tunnel-noise inversions (median t8 <=
+        # median t4): report null rather than a nonsense multiple.
+        d_samp = runs8[0][0] - runs4[0][0]
+        t4m = float(np.median([t for _, t in runs4]))
+        t8m = float(np.median([t for _, t in runs8]))
+        d_t = t8m - t4m
+        sus = d_samp / d_t if d_t > 0.05 * t4m else None
+        if sus is not None and sus > msps * 1e6:
+            # a sustained END-TO-END rate above the raw kernel rate is
+            # physically impossible — the slope was noise; report null
+            sus = None
+        return dev, sus
+
+    pair = _metric(_e2e_pair)
+    e2e_dev, e2e_sustained = pair if pair else (None, None)
 
     # ---- end-to-end with delivered samples (tunnel-limited here) ----------
     # one 30 s superframe (312 MB of IQ): enough to saturate the D2H path
@@ -237,8 +255,8 @@ def main() -> None:
         assert iq.shape == (sf_map.size, bs)
         return sf_map.size * bs / dt
 
-    e2e_delivered_once()   # compile-warm the (M=300, n_sf=1) shapes
-    e2e_del = e2e_delivered_once()
+    e2e_del = _metric(lambda: (e2e_delivered_once(),   # compile-warm
+                               e2e_delivered_once())[1])
 
     # ---- production pipelined e2e (IqStream, device-side consumer) --------
     # The real runtime path: superframes() plans and dispatches superframe
@@ -259,8 +277,11 @@ def main() -> None:
         assert done == n_blocks and s != 0
         return n_blocks * block_samples / dt
 
-    e2e_pipelined(600)                      # warm the per-M shapes
-    e2e_pipe = float(np.median([e2e_pipelined(1200) for _ in range(3)]))
+    def _pipe():
+        e2e_pipelined(600)                  # warm the per-M shapes
+        return float(np.median([e2e_pipelined(1200) for _ in range(2)]))
+
+    e2e_pipe = _metric(_pipe)
 
     print(json.dumps({
         "metric": "iq_synthesis_throughput_12ch_2p6MHz",
@@ -268,11 +289,11 @@ def main() -> None:
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rt_multiple, 1),
         "verify": "pallas==precise checksum ok",
-        "e2e_device_x": round(e2e_dev / fs, 1),
+        "e2e_device_x": round(e2e_dev / fs, 1) if e2e_dev else None,
         "e2e_sustained_x": (round(e2e_sustained / fs, 1)
                             if e2e_sustained else None),
-        "e2e_pipelined_x": round(e2e_pipe / fs, 1),
-        "e2e_delivered_x": round(e2e_del / fs, 1),
+        "e2e_pipelined_x": round(e2e_pipe / fs, 1) if e2e_pipe else None,
+        "e2e_delivered_x": round(e2e_del / fs, 1) if e2e_del else None,
     }))
 
 
