@@ -20,22 +20,25 @@ Five measurements, one JSON line:
                         latency cancels, leaving the per-signal-second
                         cost a directly attached host would sustain.
   e2e_pipelined_x       the actual production runtime path: IqStream's
-                        one-superframe-deep software pipeline with a
-                        device-side consumer (as_device=True).  Under
-                        the tunnel this pays ~6 flat dispatch latencies
-                        per 30 s superframe, so it reads LOWER than
-                        e2e_sustained here; on an attached host the
-                        same path is sustained-rate or better.
+                        one-group-deep software pipeline at
+                        superframes_per_dispatch=4 (one kernel call per
+                        120 s of signal through the multi-superframe
+                        sf_map) with a device-side consumer
+                        (as_device=True) — host planning of group k+1
+                        overlaps device synthesis of group k.
   e2e_delivered_x       same pipeline with the full int16 IQ fetched to
-                        host NumPy and written to a null sink — the
-                        delivered-samples contract (c:2152).  Limited by
-                        this environment's tunnel D2H (~15-22 MB/s
-                        measured; a directly attached host has ~3 orders
-                        more PCIe bandwidth).
+                        host NumPy (D2H enqueued at dispatch time so
+                        delivery overlaps the next group's synthesis) —
+                        the delivered-samples contract (c:2152).
+                        Limited by this environment's tunnel D2H
+                        (~15-22 MB/s measured; a directly attached host
+                        has ~3 orders more PCIe bandwidth).
 
-Before timing, the kernel output is VERIFIED: superframe IQ checksummed
-on device against the f64 precise path's checksum (they match bit-for-bit
-by design — the four-level NCO); a wrong-but-fast kernel cannot bench.
+Before timing, the kernel output is VERIFIED elementwise against the
+f64 precise path: >=99.99% of int16 components bit-exact and max
+component error <=16 (the documented adjacent-LUT-pick allowance of the
+kernel's u32 carrier quantization); a wrong-but-fast kernel cannot
+bench.
 
 Notes: under the axon tunnel, results of identical calls may be cached,
 so timing rotates seven distinct parameter sets and forces a device
@@ -103,6 +106,49 @@ def main() -> None:
     if exact < 0.9999 or max_err > 16:
         print(json.dumps({"metric": "VERIFY_FAILED",
                           "bit_exact": exact, "max_err": max_err}))
+        sys.exit(1)
+
+    # second gate, full-superframe scale: compiled pallas vs compiled
+    # tiled over 300 blocks, compared ON DEVICE so only 2 scalars cross
+    # the tunnel.  (The RUN_TPU suite extends the same check to 990
+    # blocks + rollover.)  Rate bound 1e-3, not 1e-4: when a channel's
+    # Doppler sits within ~1 Hz of a multiple of fs/512 the 9-bit LUT
+    # index rides a boundary for ~2k samples of that block and the
+    # kernel's +-1-unit u32 carrier quantization picks the adjacent
+    # entry each time (measured: 5 such blocks / 16.3k of 154M
+    # components in this scenario's first superframe, every error <= 6
+    # LSB — the same few-LSB noise already priced into the 82-87 dB
+    # oracle SNR).  A chip/nav flip is full-amplitude and still fails
+    # the max_err <= 16 bound loudly.
+    from pluto_gps_sim_tpu.ops.synth_jnp import synth_superframe_tiled_async
+
+    plan_g = sched_v.plan(300)
+    dp_g = pack_plan(plan_g)
+    tiled_g = synth_superframe_tiled_async(dp_g, device=tpu)
+
+    def _gate_stats(packed, tiled):
+        i16 = ((packed & 0xFFFF) ^ 0x8000) - 0x8000
+        q16 = (jax.lax.shift_right_logical(packed, jnp.int32(16))
+               ^ 0x8000) - 0x8000
+        t32 = tiled.astype(jnp.int32)
+        di = jnp.abs(i16 - t32[..., 0])
+        dq = jnp.abs(q16 - t32[..., 1])
+        return (jnp.sum((di > 0).astype(jnp.int32))
+                + jnp.sum((dq > 0).astype(jnp.int32)),
+                jnp.maximum(di.max(), dq.max()))
+
+    with jax.enable_x64(False):
+        packed_g = sp.synth_blocks_pallas(
+            sp.build_block_params(dp_g), sp.pack_ca_tables([dp_g.ca2]),
+            np.zeros(dp_g.n_blocks, np.int32), dp_g.block_samples,
+            device=tpu)[:, :dp_g.block_samples]
+        n_bad, m_err = jax.jit(_gate_stats, device=tpu)(packed_g, tiled_g)
+    exact_g = 1.0 - int(np.asarray(n_bad)) / (2 * dp_g.n_blocks
+                                              * dp_g.block_samples)
+    if exact_g < 0.999 or int(np.asarray(m_err)) > 16:
+        print(json.dumps({"metric": "VERIFY_FAILED_300BLK",
+                          "bit_exact": exact_g,
+                          "max_err": int(np.asarray(m_err))}))
         sys.exit(1)
 
     # ---- build timing parameter sets --------------------------------------
@@ -214,18 +260,21 @@ def main() -> None:
         return sf_map.size * bs, dt
 
     def _e2e_pair():
-        e2e_device_once(8)   # compile-warm the 8-superframe shapes
-        runs4 = [e2e_device_once(4) for _ in range(2)]
-        runs8 = [e2e_device_once(8) for _ in range(2)]
+        e2e_device_once(12)   # compile-warm the 12-superframe shapes
+        e2e_device_once(4)
+        runs4 = [e2e_device_once(4) for _ in range(5)]
+        runs12 = [e2e_device_once(12) for _ in range(5)]
         dev = float(np.median([n / t for n, t in runs4]))
-        # sustained = marginal samples/s between 120 s and 240 s runs:
+        # sustained = marginal samples/s between 120 s and 360 s runs:
         # the flat per-call tunnel latency (absent on attached hosts)
-        # cancels.  Guard against tunnel-noise inversions (median t8 <=
-        # median t4): report null rather than a nonsense multiple.
-        d_samp = runs8[0][0] - runs4[0][0]
+        # cancels.  5 reps each and a 240-signal-second gap keep the
+        # slope above tunnel noise (2 reps with a 120 s gap returned
+        # null in BENCH_r02).  Guard against noise inversions: report
+        # null rather than a nonsense multiple.
+        d_samp = runs12[0][0] - runs4[0][0]
         t4m = float(np.median([t for _, t in runs4]))
-        t8m = float(np.median([t for _, t in runs8]))
-        d_t = t8m - t4m
+        t12m = float(np.median([t for _, t in runs12]))
+        d_t = t12m - t4m
         sus = d_samp / d_t if d_t > 0.05 * t4m else None
         if sus is not None and sus > msps * 1e6:
             # a sustained END-TO-END rate above the raw kernel rate is
@@ -237,49 +286,53 @@ def main() -> None:
     e2e_dev, e2e_sustained = pair if pair else (None, None)
 
     # ---- end-to-end with delivered samples (tunnel-limited here) ----------
-    # one 30 s superframe (312 MB of IQ): enough to saturate the D2H path
-    # without blowing the bench's time budget on a slow tunnel
-    def e2e_delivered_once():
-        t0 = time.time()
-        (prmi, prmf), ca_tabs, sf_map, bs = build_args(1)
-        # shape compiled by the warm-up call below; timing a first-time
-        # Mosaic compile here would masquerade as delivery cost
-        fn1 = sp._build_fn(sf_map.size, nt, 1, True, False, tile)
-        with jax.enable_x64(False):
-            args = tuple(jax.device_put(jnp.asarray(x), tpu) for x in
-                         (sf_map.astype(np.int32), prmi, prmf, ca_tabs,
-                          sp._RAWTAB))
-            out = fn1(*args)                    # [M, nt, 512, 128] packed
-            iq = np.asarray(out).reshape(len(sf_map), -1)[:, :bs]
-        dt = time.time() - t0
-        assert iq.shape == (sf_map.size, bs)
-        return sf_map.size * bs / dt
-
-    e2e_del = _metric(lambda: (e2e_delivered_once(),   # compile-warm
-                               e2e_delivered_once())[1])
-
-    # ---- production pipelined e2e (IqStream, device-side consumer) --------
-    # The real runtime path: superframes() plans and dispatches superframe
-    # k+1 while k is being consumed, so host control plane and device
-    # synthesis overlap; the consumer reduces on device (as_device=True).
+    # the real delivered path: IqStream with host fetches, where the
+    # D2H of group k is enqueued at dispatch time (copy_to_host_async)
+    # so delivery overlaps group k+1's synthesis.  60 s of signal
+    # (~624 MB of IQ) is enough to saturate the D2H path without
+    # blowing the bench's time budget on a slow tunnel.
     from pluto_gps_sim_tpu.runtime.stream import IqStream
 
-    def e2e_pipelined(n_blocks):
+    def e2e_delivered_once(n_blocks):
         stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
                           device=tpu)
         t0 = time.time()
         done = 0
-        s = 0
+        for sf in stream.superframes(n_blocks):
+            assert sf.dtype == np.int16 and sf.shape[1] == block_samples
+            done += sf.shape[0]
+        dt = time.time() - t0
+        assert done == n_blocks
+        return n_blocks * block_samples / dt
+
+    e2e_del = _metric(lambda: (e2e_delivered_once(300),   # compile-warm
+                               e2e_delivered_once(600))[1])
+
+    # ---- production pipelined e2e (IqStream, device-side consumer) --------
+    # The real runtime path: superframes() plans and dispatches group k+1
+    # while k is being consumed, so host control plane and device
+    # synthesis overlap.  superframes_per_dispatch=4 batches 120 s of
+    # signal per kernel call (the multi-superframe sf_map the kernel was
+    # built for), so per-dispatch flat latency amortizes; the consumer
+    # reduces on device (as_device=True) and fetches the 8 B sums once
+    # at the end — a device-resident downstream stage's behavior.
+    def e2e_pipelined(n_blocks, k_sf=4):
+        stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
+                          device=tpu, superframes_per_dispatch=k_sf)
+        t0 = time.time()
+        done = 0
+        sums = []
         for dev_out in stream.superframes(n_blocks, as_device=True):
-            s += int(np.asarray(csum(dev_out)))
+            sums.append(csum(dev_out))
             done += dev_out.shape[0]
+        s = sum(int(np.asarray(x)) for x in sums)
         dt = time.time() - t0
         assert done == n_blocks and s != 0
         return n_blocks * block_samples / dt
 
     def _pipe():
-        e2e_pipelined(600)                  # warm the per-M shapes
-        return float(np.median([e2e_pipelined(1200) for _ in range(2)]))
+        e2e_pipelined(2400)                 # warm the group shapes
+        return float(np.median([e2e_pipelined(6000) for _ in range(3)]))
 
     e2e_pipe = _metric(_pipe)
 
@@ -288,7 +341,8 @@ def main() -> None:
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rt_multiple, 1),
-        "verify": "pallas==precise checksum ok",
+        "verify": (f"pallas tracks precise: {exact * 100:.4f}% exact, "
+                   f"max err {max_err}<=16"),
         "e2e_device_x": round(e2e_dev / fs, 1) if e2e_dev else None,
         "e2e_sustained_x": (round(e2e_sustained / fs, 1)
                             if e2e_sustained else None),

@@ -136,7 +136,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print JSON stream stats (samples, rate, CRC32)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a JAX profiler trace of the run into DIR")
+    p.add_argument("--dispatch-superframes", type=int, default=1,
+                   metavar="K",
+                   help="batch K consecutive 30 s superframes per device "
+                        "dispatch (amortizes per-call latency; output is "
+                        "identical)")
+    p.add_argument("--shard", metavar="H/N",
+                   help="host-partitioned stream: this process synthesizes "
+                        "contiguous share H of N (0-based) of the requested "
+                        "duration; the N outputs concatenate byte-"
+                        "identically to an unsharded run (requires -d)")
     return p
+
+
+def _parse_shard(s: str) -> tuple[int, int]:
+    try:
+        h, n = (int(x) for x in s.split("/"))
+    except ValueError:
+        raise SystemExit("ERROR: --shard must be H/N (e.g. 0/4)")
+    if not (n >= 1 and 0 <= h < n):
+        raise SystemExit("ERROR: --shard needs 0 <= H < N")
+    return h, n
 
 
 def _parse_time(s: str) -> GpsTime:
@@ -156,6 +176,14 @@ def _parse_time(s: str) -> GpsTime:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_cli(argv)
+
+    # Pin host math to the CPU backend: every f64 epoch/geodesy
+    # computation must run host-side (TPU plugins silently demote f64,
+    # and proxy plugins like axon route even scalar ops through the
+    # device link — slow and, observed, not bit-stable run to run).
+    # The synthesis kernel device_puts its inputs explicitly.
+    import jax
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     if args.navfile is None and not args.use_ftp:
         print("ERROR: GPS ephemeris file is not specified.", file=sys.stderr)
@@ -272,8 +300,15 @@ def main(argv: list[str] | None = None) -> int:
         import jax
         mode = ("pallas" if any(d.platform == "tpu" for d in jax.devices())
                 else "tiled")
+    host_id, n_hosts = (_parse_shard(args.shard) if args.shard else (0, 1))
+    if n_hosts > 1 and args.duration <= 0:
+        print("ERROR: --shard requires a finite -d duration",
+              file=sys.stderr)
+        return 1
     stream = IqStream(rin, g0, ieph, xyz, fs=args.fs,
-                      static_mode=static_mode, mode=mode)
+                      static_mode=static_mode, mode=mode,
+                      superframes_per_dispatch=args.dispatch_superframes,
+                      n_hosts=n_hosts, host_id=host_id)
     if args.resume:
         with open(args.resume, "rb") as fp:
             stream.restore(_load_snapshot(fp))

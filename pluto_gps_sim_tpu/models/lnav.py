@@ -16,6 +16,7 @@ the resulting uint32 dwrd tables.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import numpy as np
@@ -213,21 +214,21 @@ def compute_checksum(source: int, nib: bool) -> int:
 
     if nib:
         # Solve data bits 23/24 so parity bits 29/30 come out zero
-        if (d30 + bin(_PARITY_MASKS[4] & d).count("1")) % 2:
+        if (d30 + (_PARITY_MASKS[4] & d).bit_count()) % 2:
             d ^= 0x1 << 6
-        if (d29 + bin(_PARITY_MASKS[5] & d).count("1")) % 2:
+        if (d29 + (_PARITY_MASKS[5] & d).bit_count()) % 2:
             d ^= 0x1 << 7
 
     word = d
     if d30:
         word ^= 0x3FFFFFC0
 
-    word |= ((d29 + bin(_PARITY_MASKS[0] & d).count("1")) % 2) << 5
-    word |= ((d30 + bin(_PARITY_MASKS[1] & d).count("1")) % 2) << 4
-    word |= ((d29 + bin(_PARITY_MASKS[2] & d).count("1")) % 2) << 3
-    word |= ((d30 + bin(_PARITY_MASKS[3] & d).count("1")) % 2) << 2
-    word |= ((d30 + bin(_PARITY_MASKS[4] & d).count("1")) % 2) << 1
-    word |= (d29 + bin(_PARITY_MASKS[5] & d).count("1")) % 2
+    word |= ((d29 + (_PARITY_MASKS[0] & d).bit_count()) % 2) << 5
+    word |= ((d30 + (_PARITY_MASKS[1] & d).bit_count()) % 2) << 4
+    word |= ((d29 + (_PARITY_MASKS[2] & d).bit_count()) % 2) << 3
+    word |= ((d30 + (_PARITY_MASKS[3] & d).bit_count()) % 2) << 2
+    word |= ((d30 + (_PARITY_MASKS[4] & d).bit_count()) % 2) << 1
+    word |= (d29 + (_PARITY_MASKS[5] & d).bit_count()) % 2
 
     return word & 0x3FFFFFFF
 
@@ -284,11 +285,11 @@ class NavCache:
     (sbf content, frame time, previous-frame SF5 for the slot-0 chain,
     c:1853-1859).  With B receivers sharing one scenario clock, the
     per-boundary nav regeneration is ~12 unique (PRN, time) products
-    instead of 12*B.  Transmit-buffer keys are content hashes; subframe
-    keys pair the ephemeris-set object identity (the cache holds a
-    reference, so the id cannot be recycled) with every iono/UTC field
-    that eph_to_subframes encodes — rollovers and per-receiver
-    allocation times cannot alias."""
+    instead of 12*B.  All keys are content keys: transmit buffers hash
+    the subframe words, subframes hash the per-SV ephemeris scalars plus
+    every iono/UTC field that eph_to_subframes encodes — so in-place
+    Ephemerides mutations (setup_scenario's -T toc/toe shift), rollovers
+    and per-receiver allocation times cannot serve stale entries."""
 
     def __init__(self):
         self._sbf: dict = {}
@@ -303,16 +304,18 @@ class NavCache:
              "beta0", "beta1", "beta2", "beta3",
              "A0", "A1", "tot", "wnt", "dtls")) + (
             bool(ionoutc.vflg), bool(ionoutc.enable))
-        key = (id(eph), sv, iono_key)
+        eph_key = tuple(
+            np.asarray(getattr(eph, f.name))[sv].item()
+            for f in dataclasses.fields(eph))
+        key = (sv, eph_key, iono_key)
         hit = self._sbf.get(key)
         if hit is None:
             self.misses += 1
             out = eph_to_subframes(eph, sv, ionoutc)
-            # keep eph alive so id(eph) cannot be recycled by a new set
-            self._sbf[key] = (out, eph)
+            self._sbf[key] = out
         else:
             self.hits += 1
-            out = hit[0]
+            out = hit
         return out.copy()
 
     def nav_msg(self, g: GpsTime, sbf: np.ndarray,

@@ -443,9 +443,10 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     tile = choose_tile(block_samples)
     nt = -(-block_samples // tile)
     # the kernel evaluates the NCO ramps over the PADDED sample range
-    # [0, nt*tile); the Q24/Q36 integer levels (r <= 4095) stay inside
-    # int32 for n <= (2^31-1)/4095 = 524417
-    assert nt * tile <= 524_416, \
+    # [0, nt*tile); the Q36 residual ramp res0 + r*n + trunc(rrr*n)
+    # (each term <= 4095, 4095*n, n-1) stays inside int32 only for
+    # n <= (2^31 - 1 - 4095)/4096 = 524287, i.e. nt*tile <= 524288
+    assert nt * tile <= 524_288, \
         f"padded block ({nt * tile}) exceeds the Q24/Q36 ramp range"
     fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),

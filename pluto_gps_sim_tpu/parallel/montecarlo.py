@@ -29,6 +29,8 @@ against perturbed trajectories:
     mc = MonteCarloBatch(rin, g0, ieph, xyz_batch, fs=2.6e6)
     iq = mc.generate(n_blocks=300)              # [B, 300, N, 2] int16
     iq = mc.generate(n_blocks=300, mesh=mesh)   # sharded across devices
+    for off, iq in mc.superframes(300, chunk_blocks=600):
+        consume(off, iq)   # streaming: host RSS bounded by one chunk
 """
 
 from __future__ import annotations
@@ -149,18 +151,27 @@ class MonteCarloBatch:
         self.control_seconds += _time.time() - t_start
         return prmi, prmf, ca2, sf_map
 
-    def generate(self, n_blocks: int, mesh=None, device=None,
-                 interpret: bool = False,
-                 chunk_blocks: int | None = None) -> np.ndarray:
-        """Synthesize [B, n_blocks, N, 2] int16 IQ over B*n_blocks blocks
-        (sharded over `mesh` when given).
+    def superframes(self, n_blocks: int, mesh=None, device=None,
+                    interpret: bool = False,
+                    chunk_blocks: int | None = None,
+                    as_device: bool = False):
+        """Stream the batch as (block_offset, iq) chunks — host RSS stays
+        bounded by ONE chunk, so B=256 x 300 blocks (80 GB of IQ at
+        2.6 MHz) never materializes anywhere.
 
-        chunk_blocks bounds the blocks per kernel launch so the packed
-        output stays inside HBM at large B (each block's output is
-        ~4*block_samples bytes; e.g. B=256 x 300 blocks at 2.6 MHz is
-        80 GB — far beyond one chip).  The HOST array returned is still
-        B*n_blocks blocks; callers at that scale should consume
-        per-chunk instead (see plan_blocks + synth_blocks_pallas)."""
+        Blocks are receiver-major: global row r = b*n_blocks + k is
+        receiver b's block k; each yielded chunk covers rows
+        [block_offset, block_offset + len).  as_device=True yields the
+        packed int32 device array [len, NT] instead of host int16
+        [len, N, 2] (device-resident consumers skip the fetch);
+        otherwise chunk k+1's launch overlaps chunk k's D2H (one-deep
+        software pipeline, same as runtime.stream.IqStream).
+
+        chunk_blocks also bounds the blocks per kernel launch so the
+        packed output stays inside HBM at large B (each block's output
+        is ~4*padded_samples bytes).  Default: whole batch in one
+        launch (mesh runs always launch whole — shard_map owns the
+        partition)."""
         import jax
 
         prmi, prmf, ca2, sf_map = self.plan_blocks(n_blocks)
@@ -170,26 +181,58 @@ class MonteCarloBatch:
             device = tpus[0] if tpus else None
             interpret = not tpus
         total = self.B * n_blocks
+        n = self.block_samples
+
+        def finish(off, out):
+            if as_device:
+                return off, out
+            packed = np.asarray(out)[:, :n]
+            return off, np.stack(
+                [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+                 (packed >> 16).astype(np.int16)], axis=-1)
+
         if mesh is not None:
             prmi, prmf, sf_map = pad_time_shards(
                 prmi, prmf, sf_map, mesh.shape["time"])
             prmf_sh = shard_channel_params(prmf, mesh.shape["chan"])
-            packed = np.asarray(synth_sharded(
-                mesh, prmi, prmf_sh, ca2, sf_map,
-                self.block_samples))[:total]
-        elif chunk_blocks is None or chunk_blocks >= total:
-            packed = np.asarray(sp.synth_blocks_pallas(
-                (prmi, prmf), ca2, sf_map, self.block_samples,
-                device=device, interpret=interpret))
-        else:
-            parts = []
-            for off in range(0, total, chunk_blocks):
-                hi = min(off + chunk_blocks, total)
-                parts.append(np.asarray(sp.synth_blocks_pallas(
-                    (prmi[off:hi], prmf[off:hi]), ca2, sf_map[off:hi],
-                    self.block_samples, device=device,
-                    interpret=interpret)))
-            packed = np.concatenate(parts, axis=0)
+            out = synth_sharded(mesh, prmi, prmf_sh, ca2, sf_map,
+                                self.block_samples)[:total]
+            yield finish(0, out)
+            return
+        step = total if chunk_blocks is None else max(1, chunk_blocks)
+        pending = None
+        for off in range(0, total, step):
+            hi = min(off + step, total)
+            out = sp.synth_blocks_pallas(
+                (prmi[off:hi], prmf[off:hi]), ca2, sf_map[off:hi],
+                self.block_samples, device=device, interpret=interpret)
+            if not as_device:
+                fn = getattr(out, "copy_to_host_async", None)
+                if fn is not None:
+                    fn()
+            if pending is not None:
+                yield finish(*pending)
+            pending = (off, out)
+        if pending is not None:
+            yield finish(*pending)
+
+    def generate(self, n_blocks: int, mesh=None, device=None,
+                 interpret: bool = False,
+                 chunk_blocks: int | None = None) -> np.ndarray:
+        """Synthesize [B, n_blocks, N, 2] int16 IQ over B*n_blocks blocks
+        (sharded over `mesh` when given).
+
+        Materializes the WHOLE batch on host — at large B use
+        superframes() and consume per-chunk instead (B=256 x 300 blocks
+        at 2.6 MHz is ~80 GB).  chunk_blocks still bounds the per-launch
+        device footprint here."""
         n = self.block_samples
-        iq16 = packed[:, :n].reshape(self.B, n_blocks, n).view(np.int16)
-        return iq16.reshape(self.B, n_blocks, n, 2)
+        out = np.empty((self.B * n_blocks, n, 2), dtype=np.int16)
+        done = 0
+        for off, iq in self.superframes(n_blocks, mesh=mesh, device=device,
+                                        interpret=interpret,
+                                        chunk_blocks=chunk_blocks):
+            out[off:off + iq.shape[0]] = iq
+            done += iq.shape[0]
+        assert done == self.B * n_blocks
+        return out.reshape(self.B, n_blocks, n, 2)

@@ -2,11 +2,20 @@
 
 Validates the framework's multi-HOST story without a TPU pod: N python
 processes, each owning `local_devices` virtual CPU devices, bootstrap a
-global JAX runtime via jax.distributed, build one global ("time","chan")
-mesh whose CHANNEL axis spans the process boundary — so the composite
-psum crosses processes the way it would cross DCN between hosts — run
-the full sharded synthesis step, and verify every process's addressable
-output shards bit-for-bit against an unsharded local computation.
+global JAX runtime via jax.distributed and run three phases:
+
+  1. synthetic-parameter sharded synthesis over one global
+     ("time","chan") mesh whose CHANNEL axis spans the process boundary
+     — the composite psum crosses processes the way it would cross DCN
+     between hosts — checked bit-for-bit against an unsharded local run;
+  2. a REAL RINEX scenario host-partitioned with
+     IqStream(n_hosts=N, host_id=pid): each process fast-forwards the
+     control plane to its contiguous share and synthesizes only its own
+     blocks; its partial stream must equal the same slice of a full
+     single-host run (so the N streams concatenate byte-identically);
+  3. the real scenario's scheduler-planned parameters through the
+     global-mesh sharded synthesis (real scheduler -> stream path, not
+     synthetic params), again checked per-shard bit-for-bit.
 
 Workers are spawned as fresh interpreters through `python -c` because
 (a) JAX/XLA env vars must be set before any jax import and (b)
@@ -35,6 +44,32 @@ __all__ = ["run_multiprocess_dryrun", "worker_body"]
 
 LOCAL_DEVICES = 4
 OK_TAG = "MULTIPROC_DRYRUN OK"
+
+
+def _real_scenario(fs: float, block_samples: int):
+    """(rin, g0, ieph, xyz) from the test-suite RINEX fixture — the real
+    ingest -> scenario -> scheduler path, not synthetic params."""
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    tests = os.path.join(repo, "tests")
+    if tests not in sys.path:
+        sys.path.insert(0, tests)
+    from fixtures import ensure_fixtures
+
+    from ..ingest import read_rinex2
+    from ..models.geodesy import llh2xyz
+    from ..runtime import select_ephemeris_set, setup_scenario
+
+    paths = ensure_fixtures()
+    rin = read_rinex2(paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    llh = np.array([35.681298, 139.766247, 10.0]) / \
+        np.array([57.2957795131, 57.2957795131, 1.0])
+    xyz = np.asarray(llh2xyz(llh))
+    return rin, g0, ieph, xyz
 
 
 def worker_body(pid: int, nproc: int) -> None:
@@ -79,9 +114,68 @@ def worker_body(pid: int, nproc: int) -> None:
         n_checked += 1
     assert n_checked > 0, "process owns no output shards"
 
+    # ---- phase 2: REAL scenario, host-partitioned stream ----------------
+    # The multi-host delivery story: this process plays host `pid` of
+    # `nproc`, fast-forwards the deterministic control plane to its
+    # contiguous share of a real RINEX scenario (ingest -> scheduler ->
+    # stream, nothing synthetic) and synthesizes only its own blocks.
+    # Check: its partial stream equals the same slice of a full
+    # single-host run, so the nproc partial streams concatenate
+    # byte-identically to the unsharded stream.
+    from ..runtime.stream import IqStream
+
+    fs, bs, n_total = 1_000_000.0, 8192, 24
+    rin, g0, ieph, xyz = _real_scenario(fs, bs)
+    # uniform 6-block spans keep the jit shape count at one per phase
+    full_s = IqStream(rin, g0, ieph, xyz, fs=fs, block_samples=bs,
+                      mode="tiled")
+    full = np.concatenate(
+        list(full_s.superframes(n_total, max_blocks=6)), axis=0)
+    part = IqStream(rin, g0, ieph, xyz, fs=fs, block_samples=bs,
+                    mode="tiled", superframes_per_dispatch=2,
+                    n_hosts=nproc, host_id=pid)
+    mine = np.concatenate(
+        list(part.superframes(n_total, max_blocks=6)), axis=0)
+    lo = pid * n_total // nproc
+    hi = (pid + 1) * n_total // nproc
+    assert mine.shape[0] == hi - lo, (mine.shape, lo, hi)
+    assert np.array_equal(mine, full[lo:hi]), \
+        f"process {pid}: host-partitioned stream diverges in [{lo},{hi})"
+
+    # ---- phase 3: the real scenario's params through the global mesh ----
+    # Host 0's first superframe, planned by the real scheduler, runs
+    # through the sharded synthesis with the channel psum crossing the
+    # process boundary; every process checks its addressable shards.
+    from ..ops.synth_jnp import pack_plan
+
+    sched_plans = IqStream(rin, g0, ieph, xyz, fs=fs, block_samples=bs,
+                           mode="tiled")
+    plans = sched_plans.sched.plan_group(2, max_blocks=4)
+    dps = [pack_plan(p, tables=False) for p in plans]
+    pairs = [sp.build_block_params(dp) for dp in dps]
+    prmi_r = np.concatenate([a for a, _ in pairs])
+    prmf_r = np.concatenate([b for _, b in pairs])
+    ca_r = sp.pack_ca_tables([dp.ca2 for dp in dps])
+    sf_r = np.concatenate([np.full(dp.n_blocks, i, np.int32)
+                           for i, dp in enumerate(dps)])
+    prmf_r_sh = shard_channel_params(prmf_r, mesh.shape["chan"])
+    out_r = synth_sharded(mesh, prmi_r, prmf_r_sh, ca_r, sf_r, bs)
+    ref_r = np.asarray(sp.synth_blocks_pallas(
+        (prmi_r, prmf_r), ca_r, sf_r, bs, interpret=True))
+    for s in out_r.addressable_shards:
+        assert np.array_equal(np.asarray(s.data), ref_r[s.index]), \
+            f"process {pid}: real-scenario shard {s.index} diverges"
+
     print(f"{OK_TAG}: process {pid}/{nproc}, mesh time={mesh.shape['time']} "
           f"chan={mesh.shape['chan']} (chan spans processes), "
-          f"{n_checked} shards bit-exact", flush=True)
+          f"{n_checked} shards bit-exact; real-scenario host partition "
+          f"[{lo},{hi}) byte-identical; real-scenario mesh psum bit-exact",
+          flush=True)
+    # align processes before the shutdown barrier: per-process jit
+    # compile times skew by minutes on a loaded host, and the barrier
+    # (raised to 1200 s at initialize) should start from a common point
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("dryrun-done")
     jax.distributed.shutdown()
 
 
@@ -114,7 +208,8 @@ def run_multiprocess_dryrun(n_processes: int = 2,
         f"'--xla_force_host_platform_device_count={LOCAL_DEVICES}'\n"
         "import jax\n"
         "jax.distributed.initialize(coordinator_address=coord,"
-        " num_processes=nproc, process_id=pid)\n"
+        " num_processes=nproc, process_id=pid,"
+        " shutdown_timeout_seconds=1200)\n"
         "from pluto_gps_sim_tpu.parallel.multiproc_dryrun import worker_body\n"
         "worker_body(pid, nproc)\n")
     procs = [

@@ -32,7 +32,7 @@ from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE
 from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
-from ..ops.epoch import solve_superframe
+from ..ops.epoch import solve_ranges, solve_superframe
 from ..types import IonoUtc
 from . import scenario as scenario_mod
 from .allocator import ChannelState, allocate_channels
@@ -105,18 +105,21 @@ class Scheduler:
             return 0
         return (k - 1) % self.numd
 
+    def _grid_arrays(self, ks: np.ndarray):
+        """(g_secs, g_weeks, rx) for an explicit block-index grid."""
+        g_secs, g_weeks = inc_gps_time_grid(self.g_start, _BLOCK_DT * ks)
+        if self.static_mode:
+            rx = np.broadcast_to(self.xyz[0], (len(ks), 3))
+        else:
+            rx = self.xyz[np.where(ks <= 0, 0, (ks - 1) % self.numd)]
+        return g_secs, g_weeks, rx
+
     def epoch_grid(self, M: int):
         """The (M+1)-epoch grid for the next M blocks: (g_secs, g_weeks,
         rx) — the exact arrays plan() solves over.  Exposed so batched
         control planes (parallel/montecarlo.py) can precompute the range
         solve on the identical grid."""
-        ks = self.jblk + np.arange(M + 1)
-        g_secs, g_weeks = inc_gps_time_grid(self.g_start, _BLOCK_DT * ks)
-        if self.static_mode:
-            rx = np.broadcast_to(self.xyz[0], (M + 1, 3))
-        else:
-            rx = self.xyz[np.where(ks <= 0, 0, (ks - 1) % self.numd)]
-        return g_secs, g_weeks, rx
+        return self._grid_arrays(self.jblk + np.arange(M + 1))
 
     def next_plan_span(self, max_blocks: int):
         """(M, t_end, boundary) for the NEXT plan(max_blocks) call:
@@ -197,6 +200,67 @@ class Scheduler:
         if int(round(t_end.sec * 10.0)) % 300 == 0:
             self._boundary_update(t_end, alloc_precomp)
         return plan
+
+    def plan_group(self, n_superframes: int, max_blocks: int = 300,
+                   total_blocks: int | None = None) -> list[SuperframePlan]:
+        """Plan up to n_superframes consecutive superframes with ONE
+        range solve per run of superframes sharing an ephemeris set
+        (instead of one jitted solve dispatch per superframe — the
+        dominant host control-plane cost).  Returns exactly the plans a
+        plan() loop would produce, bit for bit: the solve is the same
+        vmapped elementwise computation over a longer epoch grid, and
+        each span is then fed to plan(rho=slice) so every boundary
+        update (nav refresh, rollover, re-allocation) runs identically
+        (asserted by test_scheduler_stream.py::test_plan_group_*).
+
+        total_blocks caps the summed block count (None = uncapped).
+        """
+        if n_superframes <= 0:
+            return []
+        # simulate the (start, length, eph set) of each span plan() will
+        # take — all deterministic host arithmetic; rollover lookahead
+        # mirrors _boundary_update's advance_ephemeris_set call
+        spans = []
+        jblk, ieph = self.jblk, self.ieph
+        left = total_blocks
+        for _ in range(n_superframes):
+            cap = max_blocks if left is None else min(max_blocks, left)
+            if cap <= 0:
+                break
+            t0 = self._epoch_time(jblk)
+            rem = (-int(round(t0.sec * 10.0))) % 300
+            M = min(rem if rem > 0 else 300, cap)
+            spans.append((jblk, M, ieph))
+            jblk += M
+            if left is not None:
+                left -= M
+            t_end = self._epoch_time(jblk)
+            if int(round(t_end.sec * 10.0)) % 300 == 0:
+                ieph = scenario_mod.advance_ephemeris_set(
+                    self.rin, ieph, t_end)
+
+        plans: list[SuperframePlan] = []
+        i = 0
+        while i < len(spans):
+            j = i                  # contiguous run on one ephemeris set
+            while j + 1 < len(spans) and spans[j + 1][2] == spans[i][2]:
+                j += 1
+            jblk0 = spans[i][0]
+            total = spans[j][0] + spans[j][1] - jblk0
+            ks = jblk0 + np.arange(total + 1)
+            g_secs, g_weeks, rx = self._grid_arrays(ks)
+            rho = solve_ranges(self.rin.eph[spans[i][2]], self.ionoutc,
+                               g_secs, rx)
+            rho = {k: np.asarray(v) for k, v in rho.items()}
+            for jb, M, _ in spans[i:j + 1]:
+                off = jb - jblk0
+                rho_s = {k: v[off:off + M + 1] for k, v in rho.items()}
+                plan = self.plan(M, rho=rho_s)
+                assert plan is not None and plan.n_blocks == M, \
+                    "plan_group span simulation diverged from plan()"
+                plans.append(plan)
+            i = j + 1
+        return plans
 
     def _bits_table(self) -> np.ndarray:
         """dwrd[60] words -> per-channel +-1 bit table [C, 1800]."""

@@ -163,10 +163,11 @@ class IioSink:
         phy.find_channel("altvoltage0", True).attrs["powerdown"].value = "1"
         self._tx_lo = phy.find_channel("altvoltage1", True)
         self._tx_lo.attrs["frequency"].value = str(int(lo_hz))
-        self._i = tx.find_channel("voltage0", True) or \
-            tx.find_channel("altvoltage0", True)
-        self._q = tx.find_channel("voltage1", True) or \
-            tx.find_channel("altvoltage1", True)
+        self._i = tx.find_channel("voltage0", True)
+        self._q = tx.find_channel("voltage1", True)
+        if self._i is None or self._q is None:
+            raise RuntimeError(
+                "PlutoSDR TX I/Q channels (voltage0/voltage1) not found")
         self._i.enabled = True
         self._q.enabled = True
         self._iio = iio

@@ -30,16 +30,36 @@ __all__ = ["IqStream"]
 
 
 class IqStream:
-    """Iterates int16 IQ superframes [M, N, 2] for a scenario."""
+    """Iterates int16 IQ superframes [M, N, 2] for a scenario.
+
+    superframes_per_dispatch=K batches K consecutive superframes into
+    ONE device call (multi-superframe sf_map + per-superframe C/A
+    tables), amortizing per-dispatch latency over K x 30 s of signal;
+    the yielded arrays are identical, just K superframes tall.
+
+    n_hosts/host_id partition a finite stream across hosts: host h
+    fast-forwards the deterministic control plane to its contiguous
+    share and synthesizes only blocks [h*M/N, (h+1)*M/N); the N hosts'
+    outputs concatenate byte-identically to an unsharded run (split
+    invariance is what legalizes this — see test_split_invariance)."""
 
     def __init__(self, rin: RinexResult, start: GpsTime, ieph: int,
                  xyz: np.ndarray, fs: float,
                  block_samples: int | None = None,
                  static_mode: bool = True,
-                 mode: str = "tiled", device=None, mesh=None):
+                 mode: str = "tiled", device=None, mesh=None,
+                 superframes_per_dispatch: int = 1,
+                 n_hosts: int = 1, host_id: int = 0):
         self.sched = Scheduler(rin, start, ieph, xyz, fs,
                                block_samples=block_samples,
                                static_mode=static_mode)
+        if superframes_per_dispatch < 1:
+            raise ValueError("superframes_per_dispatch must be >= 1")
+        self.superframes_per_dispatch = int(superframes_per_dispatch)
+        if not (0 <= host_id < n_hosts):
+            raise ValueError(f"host_id {host_id} not in [0, {n_hosts})")
+        self.n_hosts = int(n_hosts)
+        self.host_id = int(host_id)
         if mode not in ("tiled", "precise", "pallas"):
             raise ValueError(f"unknown synthesis mode {mode!r}")
         if mesh is not None and mode != "pallas":
@@ -83,21 +103,46 @@ class IqStream:
         (reductions, swarm statistics, a device-resident downstream DSP
         stage) skip the host fetch entirely.
         """
-        remaining = n_blocks_total
+        if self.n_hosts > 1:
+            if n_blocks_total is None:
+                raise ValueError(
+                    "host-partitioned streams need a finite n_blocks_total")
+            lo = self.host_id * n_blocks_total // self.n_hosts
+            hi = (self.host_id + 1) * n_blocks_total // self.n_hosts
+            if self.sched.jblk > lo:
+                raise RuntimeError(
+                    f"scheduler already at block {self.sched.jblk}, past "
+                    f"this host's partition start {lo}")
+            self.fast_forward(lo - self.sched.jblk)
+            remaining = hi - lo
+        else:
+            remaining = n_blocks_total
         pending = None  # (handle, snap before its plan, snap after)
         nxt = None
         try:
             while True:
                 nxt = None
                 if remaining is None or remaining > 0:
-                    todo = max_blocks if remaining is None else \
-                        min(remaining, max_blocks)
                     before = self._state_snapshot()
-                    plan = self.sched.plan(todo)
-                    if plan is not None:
+                    k = self.superframes_per_dispatch
+                    if k > 1:
+                        plans = self.sched.plan_group(
+                            k, max_blocks, total_blocks=remaining)
+                    else:
+                        todo = max_blocks if remaining is None else \
+                            min(remaining, max_blocks)
+                        plan = self.sched.plan(todo)
+                        plans = [] if plan is None else [plan]
+                    if plans:
                         if remaining is not None:
-                            remaining -= plan.n_blocks
-                        handle = self._dispatch(self._pack(plan))
+                            remaining -= sum(p.n_blocks for p in plans)
+                        handle = self._dispatch_group(plans)
+                        if not as_device:
+                            # enqueue the D2H now so delivery overlaps
+                            # the next group's synthesis (the reference's
+                            # memcpy-under-mutex handoff, c:2147-2150,
+                            # serializes here instead)
+                            self._start_fetch(handle)
                         nxt = (handle, before, self._state_snapshot())
                 if pending is not None:
                     handle, _, snap_after = pending
@@ -123,7 +168,46 @@ class IqStream:
         parts = list(self.superframes(n_blocks_total))
         return np.concatenate(parts, axis=0)
 
+    def fast_forward(self, n_blocks: int) -> None:
+        """Advance the scheduler n_blocks without synthesizing — the
+        host-partition entry point: the control plane is deterministic
+        and cheap (~12 ms per simulated 30 s), so host h of N reaches
+        its partition start by replaying blocks [0, lo) host-side only.
+        Replaces the reference's strictly sequential loop
+        (plutogpssim.c:2655-2806) at host scale."""
+        left = int(n_blocks)
+        while left > 0:
+            plans = self.sched.plan_group(32, total_blocks=left)
+            if not plans:
+                break
+            left -= sum(p.n_blocks for p in plans)
+
     # -- dispatch / fetch ------------------------------------------------
+
+    def _dispatch_group(self, plans: list):
+        """Dispatch one or more consecutive superframe plans as ONE
+        device call (pallas: multi-superframe sf_map + per-superframe
+        C/A tables, exactly the batching the kernel was built for —
+        synth_pallas.py module docstring), so the per-dispatch flat cost
+        amortizes over superframes_per_dispatch x 30 s of signal."""
+        if len(plans) == 1:
+            return self._dispatch(self._pack(plans[0]))
+        if self.mode == "pallas":
+            dps = [self._pack(p) for p in plans]
+            return ("packed", self._dispatch_pallas_multi(dps), dps[0])
+        # tiled/precise: per-plan dispatches, one concatenated yield
+        return ("multi", [self._dispatch(self._pack(p)) for p in plans],
+                None)
+
+    def _start_fetch(self, handle) -> None:
+        """Begin the device->host copy without blocking; _finish's
+        np.asarray then consumes the already-moving buffer."""
+        kind, out, _ = handle
+        outs = [h[1] for h in out] if kind == "multi" else [out]
+        for o in outs:
+            fn = getattr(o, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
 
     def _dispatch(self, dp: DevicePlan):
         """Start synthesis of one superframe; returns an opaque handle
@@ -141,9 +225,11 @@ class IqStream:
             return out
         if kind == "jax":
             return np.asarray(out)
+        if kind == "multi":
+            return np.concatenate([self._finish(h) for h in out], axis=0)
         packed = np.asarray(out)
         n = dp.block_samples
-        iq = packed[:, :n].reshape(dp.n_blocks, n)
+        iq = packed[:, :n]
         return np.stack(
             [(iq & 0xFFFF).astype(np.uint16).view(np.int16),
              (iq >> 16).astype(np.int16)], axis=-1)
@@ -152,15 +238,26 @@ class IqStream:
         return pack_plan(plan, tables=self.mode != "pallas")
 
     def _dispatch_pallas(self, dp: DevicePlan):
+        return self._dispatch_pallas_multi([dp])
+
+    def _dispatch_pallas_multi(self, dps: list):
         """The fused TPU kernel — single device, or sharded over a
-        ("time", "chan") mesh with the channel psum riding ICI."""
+        ("time", "chan") mesh with the channel psum riding ICI.  Multiple
+        superframes batch into one call through the block->superframe
+        map and per-superframe C/A tables."""
         import jax
 
         from ..ops import synth_pallas as sp
 
-        prmi, prmf = sp.build_block_params(dp)
-        ca_tabs = sp.pack_ca_tables([dp.ca2])
-        sf_map = np.zeros(dp.n_blocks, np.int32)
+        pairs = [sp.build_block_params(dp) for dp in dps]
+        prmi = np.concatenate([a for a, _ in pairs], axis=0)
+        prmf = np.concatenate([b for _, b in pairs], axis=0)
+        ca_tabs = sp.pack_ca_tables([dp.ca2 for dp in dps])
+        sf_map = np.concatenate(
+            [np.full(dp.n_blocks, i, np.int32)
+             for i, dp in enumerate(dps)])
+        n_total = int(sf_map.size)
+        block_samples = dps[0].block_samples
         if self.mesh is not None:
             from ..parallel import (pad_time_shards, shard_channel_params,
                                     synth_sharded)
@@ -168,7 +265,7 @@ class IqStream:
                 prmi, prmf, sf_map, self.mesh.shape["time"])
             prmf_sh = shard_channel_params(prmf, self.mesh.shape["chan"])
             return synth_sharded(self.mesh, prmi, prmf_sh, ca_tabs, sf_map,
-                                 dp.block_samples)[:dp.n_blocks]
+                                 block_samples)[:n_total]
         device = self.device
         interpret = False
         if device is None:
@@ -176,7 +273,7 @@ class IqStream:
             device = tpus[0] if tpus else None
             interpret = not tpus
         return sp.synth_blocks_pallas(
-            (prmi, prmf), ca_tabs, sf_map, dp.block_samples,
+            (prmi, prmf), ca_tabs, sf_map, block_samples,
             device=device, interpret=interpret)
 
     # -- snapshot / resume ---------------------------------------------------

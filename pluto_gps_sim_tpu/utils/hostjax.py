@@ -19,7 +19,11 @@ __all__ = ["cpu_device", "cpu_jit"]
 
 @functools.cache
 def cpu_device():
-    return jax.devices("cpu")[0]
+    # local_devices, not devices: under jax.distributed the global list
+    # starts with process 0's devices, and pinning host math to another
+    # process's CPU makes every np.asarray of a solve result fail with
+    # "spans non-addressable devices" on processes > 0
+    return jax.local_devices(backend="cpu")[0]
 
 
 def cpu_jit(fn=None, **jit_kwargs):

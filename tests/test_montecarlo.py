@@ -127,3 +127,47 @@ def test_mc_boundary_branch_matches_individual(scenario):
                         mode="pallas").generate(8)
         assert np.array_equal(batch[b], solo), f"receiver {b} diverges " \
             "across the 30 s boundary"
+
+
+def test_mc_streaming_superframes_match_monolithic(scenario):
+    """superframes() streams (offset, chunk) pairs whose concatenation
+    equals generate() — the bounded-host-RSS consumer for batches whose
+    full IQ (B=256 x 300 blocks ~ 80 GB) must never materialize."""
+    import zlib
+
+    rin, g0, ieph = scenario
+    mc = MonteCarloBatch(rin, g0, ieph, _perturbed_receivers(3), fs=FS,
+                         block_samples=BS)
+    mono = mc.generate(7, interpret=True)           # [3, 7, N, 2]
+
+    mc2 = MonteCarloBatch(rin, g0, ieph, _perturbed_receivers(3), fs=FS,
+                          block_samples=BS)
+    crc_mono = [zlib.crc32(mono.reshape(21, BS, 2)[r].tobytes())
+                for r in range(21)]
+    seen = 0
+    for off, iq in mc2.superframes(7, interpret=True, chunk_blocks=4):
+        assert off == seen and iq.shape[0] <= 4
+        for j in range(iq.shape[0]):
+            assert zlib.crc32(iq[j].tobytes()) == crc_mono[off + j], \
+                f"chunk CRC mismatch at global block {off + j}"
+        seen += iq.shape[0]
+    assert seen == 21
+
+
+def test_mc_streaming_as_device(scenario):
+    """as_device=True yields packed device arrays (no host fetch); their
+    manual unpack equals the host path."""
+    rin, g0, ieph = scenario
+    mc = MonteCarloBatch(rin, g0, ieph, _perturbed_receivers(2), fs=FS,
+                         block_samples=BS)
+    mono = mc.generate(3, interpret=True).reshape(6, BS, 2)
+    mc2 = MonteCarloBatch(rin, g0, ieph, _perturbed_receivers(2), fs=FS,
+                          block_samples=BS)
+    got = []
+    for off, dev in mc2.superframes(3, interpret=True, chunk_blocks=3,
+                                    as_device=True):
+        packed = np.asarray(dev)[:, :BS]
+        got.append(np.stack(
+            [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+             (packed >> 16).astype(np.int16)], axis=-1))
+    assert np.array_equal(np.concatenate(got, axis=0), mono)

@@ -240,3 +240,96 @@ def test_superframes_as_device_matches_host(rinex):
                  block_samples=16384)
     dev = [_np.asarray(x) for x in s.superframes(3, as_device=True)]
     assert _np.array_equal(_np.concatenate(dev, axis=0), host)
+
+
+def test_plan_group_matches_sequential(rinex):
+    """plan_group batches the range solve over superframe runs; it must
+    reproduce the plan() loop bit for bit, including across 30 s
+    boundaries (nav refresh + re-allocation) and an ephemeris rollover."""
+    import dataclasses
+
+    toc0 = GpsTime(int(rinex.eph[0].toc_week[0]),
+                   float(rinex.eph[0].toc_sec[0]))
+    g0 = setup_scenario(rinex, inc_gps_time(toc0, 3570.0))
+    ieph = select_ephemeris_set(rinex, g0)
+
+    sa = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    sb = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    ref = [sa.plan(300) for _ in range(5)]          # crosses the rollover
+    grp = sb.plan_group(3) + sb.plan_group(2)
+    assert len(grp) == 5 and sa.ieph == sb.ieph and sa.ieph != ieph
+    for k, (p, q) in enumerate(zip(ref, grp)):
+        for f in dataclasses.fields(p):
+            a, b = getattr(p, f.name), getattr(q, f.name)
+            if isinstance(a, np.ndarray):
+                assert np.array_equal(a, b), (k, f.name)
+            else:
+                assert a == b, (k, f.name)
+
+    # total_blocks cap produces the same partial spans as capped plan()
+    sc = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    sd = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    rem, r2 = 750, []
+    while rem > 0:
+        p = sc.plan(min(300, rem))
+        r2.append(p)
+        rem -= p.n_blocks
+    g2 = sd.plan_group(8, total_blocks=750)
+    assert [p.n_blocks for p in g2] == [p.n_blocks for p in r2]
+    for p, q in zip(r2, g2):
+        assert np.array_equal(p.carr_phase, q.carr_phase)
+        assert np.array_equal(p.gain, q.gain)
+
+
+def test_batched_dispatch_identical(rinex):
+    """superframes_per_dispatch=K yields the same stream in K-superframe
+    steps (one device call each)."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    a = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                 block_samples=16384).generate(20)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                 block_samples=16384, superframes_per_dispatch=3)
+    parts = list(s.superframes(20, max_blocks=6))
+    assert len(parts) == 2 and parts[0].shape[0] == 18  # 3 x 6 then 2
+    assert np.array_equal(np.concatenate(parts, axis=0), a)
+
+
+def test_batched_dispatch_pallas_interpret(rinex):
+    """The pallas multi-superframe dispatch path (sf_map + per-superframe
+    C/A tables) matches the tiled stream bit for bit."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    a = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                 block_samples=8192).generate(9)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="pallas",
+                 block_samples=8192, superframes_per_dispatch=2)
+    parts = list(s.superframes(9, max_blocks=3))
+    assert np.array_equal(np.concatenate(parts, axis=0), a)
+
+
+def test_host_partition_concatenates_identically(rinex):
+    """IqStream(n_hosts=N, host_id=h): each host fast-forwards the
+    deterministic control plane to its contiguous share; the N partial
+    streams concatenate byte-identically to the unsharded run — the
+    multi-host delivery story (each host streams 1/N through its own
+    NIC) replacing the reference's sequential loop (c:2655-2806)."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    full = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                    block_samples=16384).generate(32)
+    parts = []
+    for h in range(3):
+        s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                     block_samples=16384, superframes_per_dispatch=2,
+                     n_hosts=3, host_id=h)
+        got = np.concatenate(list(s.superframes(32, max_blocks=7)), axis=0)
+        assert got.shape[0] in (10, 11)  # 32 blocks over 3 hosts
+        parts.append(got)
+    assert np.array_equal(np.concatenate(parts, axis=0), full)
+
+    with pytest.raises(ValueError):
+        IqStream(rinex, g0, ieph, _xyz(), fs=FS, n_hosts=3, host_id=3)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, n_hosts=2, host_id=0)
+    with pytest.raises(ValueError):
+        next(s.superframes(None))  # endless streams cannot partition
