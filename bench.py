@@ -111,13 +111,14 @@ def main() -> None:
     # second gate, full-superframe scale: compiled pallas vs compiled
     # tiled over 300 blocks, compared ON DEVICE so only 2 scalars cross
     # the tunnel.  (The RUN_TPU suite extends the same check to 990
-    # blocks + rollover.)  Rate bound 1e-3, not 1e-4: when a channel's
-    # Doppler sits within ~1 Hz of a multiple of fs/512 the 9-bit LUT
-    # index rides a boundary for ~2k samples of that block and the
-    # kernel's +-1-unit u32 carrier quantization picks the adjacent
-    # entry each time (measured: 5 such blocks / 16.3k of 154M
-    # components in this scenario's first superframe, every error <= 6
-    # LSB — the same few-LSB noise already priced into the 82-87 dB
+    # blocks + rollover.)  Rate bound 1e-3, not 1e-4: the kernel scales
+    # LUT values with f32 trunc(T*gain) while tiled/precise use the
+    # host's f64-trunc tables — when a block's f64 gain puts one entry's
+    # product within ~3e-5 of an integer, every sample hitting that
+    # entry differs by exactly 1 LSB, and slow-Doppler channels dwell on
+    # single entries for thousands of samples (measured: 5 such blocks /
+    # 16.3k of 154M components in this scenario's first superframe,
+    # 99.7% of errors exactly 1 LSB — invisible against the 82-87 dB
     # oracle SNR).  A chip/nav flip is full-amplitude and still fails
     # the max_err <= 16 bound loudly.
     from pluto_gps_sim_tpu.ops.synth_jnp import synth_superframe_tiled_async
@@ -170,7 +171,7 @@ def main() -> None:
                 s_col = int(src[c % n_act])
                 for base in (0, 12, 24, 36, 48, 60, 72, 84, 96, 108):
                     prmi[:, base + c] = prmi[:, base + s_col]
-                for base in (0, 12, 24):
+                for base in (0, 12, 24, 36):
                     prmf[:, base + c] = prmf[:, base + s_col]
         ca_tabs = sp.pack_ca_tables([p.ca2 for p in plans])
         sf_map = np.concatenate(

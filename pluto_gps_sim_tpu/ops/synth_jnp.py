@@ -78,7 +78,8 @@ class DevicePlan:
     r36: np.ndarray         # [M, C] int32  Q36 code step/sample
     rrr: np.ndarray         # [M, C] f32    Q36 fourth-level residual/sample
     step_u32: np.ndarray    # [M, C] int32  carrier u32 step/sample
-    stepres: np.ndarray     # [M, C] f32    carrier step residual (u32 units)
+    sr12: np.ndarray        # [M, C] int32  floor(step residual * 4096)
+    srem: np.ndarray        # [M, C] f32    its [0,1) remainder
     code_q12: np.ndarray    # [M, C, nt] int32  floor(P*4096) at tile start
     code_q24: np.ndarray    # [M, C, nt] int32  Q24 fraction at tile start
     code_q36: np.ndarray    # [M, C, nt] int32  Q36 fraction at tile start
@@ -142,7 +143,13 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
     step_exact = (u - np.floor(u)) * 2.0**32
     step = np.round(step_exact).astype(np.int64)
     step_u32 = (step & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-    stepres = (step_exact - step).astype(np.float32)
+    # two-level carrier step residual (synth_pallas._F_SR12 rationale):
+    # a single f32 trunc level (error +-1 u32 unit) lets Doppler-resonant
+    # blocks collect adjacent-LUT picks; the Q12 level puts the in-tile
+    # ramp error at 2^-12 units
+    sres = (step_exact - step) * 4096.0
+    sr12 = np.floor(sres).astype(np.int32)
+    srem = (sres - sr12).astype(np.float32)
 
     # Q12 int32 overflow guard: chips*4096 must stay below 2^31 (a 0.1 s
     # block is always ~102.3k chips, so this holds at any fs)
@@ -155,7 +162,7 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
         u=u, v=v, c0=c0, cp0=cp0, b0=b0, ic0=ic0, gain=gain,
         qcos_pm=qcos_pm, qsin_pm=qsin_pm,
         v_q12=v_q12, r24=r24, r36=r36, rrr=rrr,
-        step_u32=step_u32, stepres=stepres,
+        step_u32=step_u32, sr12=sr12, srem=srem,
         code_q12=code_q12, code_q24=code_q24, code_q36=code_q36,
         carr_u32=carr_u32,
     )
@@ -222,26 +229,29 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
                      tile: int = TILE):
     """Build a jitted superframe synthesizer for fixed shapes.
 
-    Returns fn(ca2, bits, v_q12, r24, r36, rrr, step_u32, stepres, b0,
-               ic0, code_q12, code_q24, code_q36, carr_u32, qcos_pm,
+    Returns fn(ca2, bits, v_q12, r24, r36, rrr, step_u32, sr12, srem,
+               b0, ic0, code_q12, code_q24, code_q36, carr_u32, qcos_pm,
                qsin_pm) -> int16 [M, N, 2].
 
-    NCOs are the Pallas kernel's four-level scheme (synth_pallas.py) on
+    NCOs are the Pallas kernel's multi-level scheme (synth_pallas.py) on
     per-tile f64-exact anchors, so in-tile n <= tile keeps every level
-    far inside its range: carrier = u32 ramp + f32 step residual
-    (~1e-9 cycles), code = Q12 + Q24 + Q36 integer ramps + f32 fourth
-    level (truncation 2^-36 chips = 1.5e-11, the f64 closed form's own
-    rounding floor; chip-boundary jitter vanishes).
+    far inside its range: carrier = u32 ramp + two-level (Q12 + f32)
+    step residual (error 2^-12 u32 units), code = Q12 + Q24 + Q36
+    integer ramps + f32 fourth level (truncation 2^-36 chips = 1.5e-11,
+    the f64 closed form's own rounding floor; chip-boundary jitter
+    vanishes).
     """
     jf = jnp.arange(tile, dtype=jnp.float32)
     ji = jnp.arange(tile, dtype=jnp.int32)
     shr = jax.lax.shift_right_logical
 
-    def chan_tile(vq, r24, r36, rrr, su32, sres, b0, ic0, cq12, cq24,
-                  cq36, cu32, ca2_c, bits_c, qc, qs):
-        # carrier: u32 NCO (int32 wraparound) + f32 residual;
+    def chan_tile(vq, r24, r36, rrr, su32, sr12, srem, b0, ic0, cq12,
+                  cq24, cq36, cu32, ca2_c, bits_c, qc, qs):
+        # carrier: u32 NCO (int32 wraparound) + two-level residual
+        # (arithmetic >> 12 keeps floor semantics for negative sr12);
         # logical shift leaves exactly 9 index bits (c:2697 semantics)
-        ph = cu32 + su32 * ji + (sres * jf).astype(jnp.int32)
+        ph = cu32 + su32 * ji + \
+            ((sr12 * ji + (srem * jf).astype(jnp.int32)) >> 12)
         itab = shr(ph, jnp.int32(23))
 
         # code: Q12 + Q24 + Q36 integer ramps + f32 fourth-level residual
@@ -258,35 +268,36 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
     # vmap over tiles, then channels
     tiles_chan = jax.vmap(chan_tile,
                           in_axes=(None, None, None, None, None, None,
-                                   None, None, 0, 0, 0, 0,
+                                   None, None, None, 0, 0, 0, 0,
                                    None, None, None, None))
 
-    def block(vq, r24, r36, rrr, su32, sres, b0, ic0, cq12, cq24, cq36,
-              cu32, ca2, bits, qc, qs):
-        def chan(vq_c, r24_c, r36_c, rrr_c, su_c, sr_c, b0_c, ic0_c,
-                 cq12_c, cq24_c, cq36_c, cu_c, ca2_c, bits_c, qc_c, qs_c):
-            return tiles_chan(vq_c, r24_c, r36_c, rrr_c, su_c, sr_c, b0_c,
-                              ic0_c, cq12_c, cq24_c, cq36_c, cu_c, ca2_c,
-                              bits_c, qc_c, qs_c)
-        ivals, qvals = jax.vmap(chan)(vq, r24, r36, rrr, su32, sres, b0,
-                                      ic0, cq12, cq24, cq36, cu32, ca2,
-                                      bits, qc, qs)
+    def block(vq, r24, r36, rrr, su32, sr12, srem, b0, ic0, cq12, cq24,
+              cq36, cu32, ca2, bits, qc, qs):
+        def chan(vq_c, r24_c, r36_c, rrr_c, su_c, s12_c, srm_c, b0_c,
+                 ic0_c, cq12_c, cq24_c, cq36_c, cu_c, ca2_c, bits_c,
+                 qc_c, qs_c):
+            return tiles_chan(vq_c, r24_c, r36_c, rrr_c, su_c, s12_c,
+                              srm_c, b0_c, ic0_c, cq12_c, cq24_c, cq36_c,
+                              cu_c, ca2_c, bits_c, qc_c, qs_c)
+        ivals, qvals = jax.vmap(chan)(vq, r24, r36, rrr, su32, sr12,
+                                      srem, b0, ic0, cq12, cq24, cq36,
+                                      cu32, ca2, bits, qc, qs)
         # [C, nt, tile] -> sum channels -> [nt*tile] -> [N]
         i_acc = jnp.sum(ivals, axis=0).reshape(-1)[:block_samples]
         q_acc = jnp.sum(qvals, axis=0).reshape(-1)[:block_samples]
         return jnp.stack([i_acc, q_acc], axis=-1).astype(jnp.int16)
 
-    def superframe(ca2, bits, v_q12, r24, r36, rrr, step_u32, stepres,
-                   b0, ic0, code_q12, code_q24, code_q36, carr_u32,
+    def superframe(ca2, bits, v_q12, r24, r36, rrr, step_u32, sr12,
+                   srem, b0, ic0, code_q12, code_q24, code_q36, carr_u32,
                    qcos_pm, qsin_pm):
         def one(args):
-            (vq, r24_, r36_, rrr_, su, sr, b0_, ic0_, c12, c24, c36, cu,
-             qc, qs) = args
-            return block(vq, r24_, r36_, rrr_, su, sr, b0_, ic0_, c12,
-                         c24, c36, cu, ca2, bits, qc, qs)
-        return jax.lax.map(one, (v_q12, r24, r36, rrr, step_u32, stepres,
-                                 b0, ic0, code_q12, code_q24, code_q36,
-                                 carr_u32, qcos_pm, qsin_pm))
+            (vq, r24_, r36_, rrr_, su, s12, srm, b0_, ic0_, c12, c24,
+             c36, cu, qc, qs) = args
+            return block(vq, r24_, r36_, rrr_, su, s12, srm, b0_, ic0_,
+                         c12, c24, c36, cu, ca2, bits, qc, qs)
+        return jax.lax.map(one, (v_q12, r24, r36, rrr, step_u32, sr12,
+                                 srem, b0, ic0, code_q12, code_q24,
+                                 code_q36, carr_u32, qcos_pm, qsin_pm))
 
     return jax.jit(superframe)
 
@@ -303,7 +314,8 @@ def synth_superframe_tiled_async(dp: DevicePlan, device=None):
     args = [jnp.asarray(dp.ca2, jnp.int32), jnp.asarray(dp.bits, jnp.int32),
             jnp.asarray(dp.v_q12), jnp.asarray(dp.r24),
             jnp.asarray(dp.r36), jnp.asarray(dp.rrr),
-            jnp.asarray(dp.step_u32), jnp.asarray(dp.stepres),
+            jnp.asarray(dp.step_u32), jnp.asarray(dp.sr12),
+            jnp.asarray(dp.srem),
             jnp.asarray(dp.b0), jnp.asarray(dp.ic0),
             jnp.asarray(dp.code_q12), jnp.asarray(dp.code_q24),
             jnp.asarray(dp.code_q36), jnp.asarray(dp.carr_u32),

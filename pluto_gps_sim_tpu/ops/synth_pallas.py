@@ -4,10 +4,14 @@ One kernel replaces the reference's entire per-sample hot loop
 (plutogpssim.c:2690-2756).  Per (block, time-tile) grid cell it evaluates,
 for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
 
-  carrier   uint32 NCO + f32 step-quantization residual ramp:
-            phase = phase0_u32 + step_u32*n + round_res(n); LUT index =
-            phase >> 23 replicates floor(carr_phase*512) (c:2697) to
-            ~1e-9 cycles
+  carrier   uint32 NCO + two-level step-quantization residual ramp:
+            phase = phase0_u32 + step_u32*n
+                  + ((sr12*n + trunc(srem*n)) >> 12)
+            (sr12 = floor(stepres*4096), srem its remainder); LUT index
+            = phase >> 23 replicates floor(carr_phase*512) (c:2697) to
+            2^-12 u32 units ~ 6e-14 cycles — one f32 level (error +-1
+            unit) let Doppler-resonant blocks collect ~2k adjacent-LUT
+            picks; two levels remove them
   code      four-level integer NCO:
             chips*4096 = cp0_q12 + v_q12*n + ((res0_q24 + r24*n
                        + ((res0_q36 + r36*n + trunc(rrr*n)) >> 12)) >> 12)
@@ -101,7 +105,13 @@ _C = MAX_CHAN
 _P_PHASE0, _P_STEP, _P_CP0Q, _P_VQ, _P_NBM, _P_IC0 = 0, 12, 24, 36, 48, 60
 _P_RES0Q24, _P_R24 = 72, 84
 _P_RES0Q36, _P_R36 = 96, 108
-_F_STEPRES, _F_RRR, _F_GAIN = 0, 12, 24
+# carrier step residual, two levels: sr12 = floor(stepres*4096) carried
+# as f32 (exact, |sr12| <= 2048) and its [0,1) remainder.  One f32 level
+# (trunc(stepres*n), error up to +-1 u32 unit) was enough for SNR but
+# made Doppler-resonant blocks — frac(f_carr/fs)*512 within ~1e-3 of an
+# integer — collect ~2k adjacent-LUT picks per block; the Q12 level puts
+# the ramp error at 2^-12 units and removes the phenomenon.
+_F_SR12, _F_SREM, _F_RRR, _F_GAIN = 0, 12, 24, 36
 
 # 1/1023 rounded UP in f32: trunc(chip * _INV1023) == chip // 1023 exactly
 # for 0 <= chip < 600_000 (verified exhaustively; max chip under
@@ -142,8 +152,12 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
       # inactive channels are zero-gain; skip their work entirely
       @pl.when(getf(_F_GAIN, c) != 0.0)
       def _chan(c=c):
-          # carrier NCO: u32 ramp + f32 step-quantization residual
-          resc = (getf(_F_STEPRES, c) * nf).astype(jnp.int32)
+          # carrier NCO: u32 ramp + two-level step-quantization residual
+          # (Q12 integer + f32 remainder; arithmetic >> 12 keeps floor
+          # semantics for negative sr12 — ramp error <= 2^-12 units)
+          sr12 = getf(_F_SR12, c).astype(jnp.int32)
+          resc = (sr12 * n
+                  + (getf(_F_SREM, c) * nf).astype(jnp.int32)) >> 12
           phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
           # logical shift of the u32 phase leaves exactly 9 index bits
           itab = jax.lax.shift_right_logical(phase, jnp.int32(23))
@@ -321,7 +335,11 @@ def build_block_params(dp):
     step = np.round(step_exact).astype(np.int64)
     phase0_u32 = (phase0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     step_u32 = (step & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-    stepres = (step_exact - step).astype(np.float32)
+    # two-level carrier step residual (see _F_SR12 comment)
+    sres = (step_exact - step) * 4096.0          # f64, |.| <= 2048
+    sr12 = np.floor(sres)
+    srem = (sres - sr12).astype(np.float32)      # [0, 1)
+    sr12 = sr12.astype(np.float32)               # exact: |sr12| <= 2048
 
     cp0q = np.floor(cp0 * 4096.0)
     f12 = cp0 * 4096.0 - cp0q                 # q12 fraction in [0, 1)
@@ -366,7 +384,8 @@ def build_block_params(dp):
     prmi[:, _P_R24:_P_R24 + C] = r24.astype(np.int32)
     prmi[:, _P_RES0Q36:_P_RES0Q36 + C] = res0q36.astype(np.int32)
     prmi[:, _P_R36:_P_R36 + C] = r36.astype(np.int32)
-    prmf[:, _F_STEPRES:_F_STEPRES + C] = stepres
+    prmf[:, _F_SR12:_F_SR12 + C] = sr12
+    prmf[:, _F_SREM:_F_SREM + C] = srem
     prmf[:, _F_RRR:_F_RRR + C] = rrr
     prmf[:, _F_GAIN:_F_GAIN + C] = gain
     return prmi, prmf

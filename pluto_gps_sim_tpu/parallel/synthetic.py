@@ -49,7 +49,8 @@ def synthetic_params(n_blocks: int, block_samples: int, seed: int = 3):
         v_q12=np.zeros((M, C), np.int32), r24=np.zeros((M, C), np.int32),
         r36=np.zeros((M, C), np.int32), rrr=np.zeros((M, C), np.float32),
         step_u32=np.zeros((M, C), np.int32),
-        stepres=np.zeros((M, C), np.float32),
+        sr12=np.zeros((M, C), np.int32),
+        srem=np.zeros((M, C), np.float32),
         code_q12=z3, code_q24=z3, code_q36=z3, carr_u32=z3,
     )
     prmi, prmf = sp.build_block_params(dp)

@@ -272,3 +272,28 @@ def test_udp_realtime_tolerates_absent_receiver():
     # all datagrams were "written" (dropped fire-and-forget), and
     # post-close stats return the drained totals
     assert sink.stats()["bytes_written"] == 2 * 400_000
+
+
+def test_cli_shard_concatenates_identically(tmp_path, fixture_paths):
+    """--shard H/N: the N per-host output files concatenate to the
+    unsharded stream byte for byte (multi-host delivery at CLI level)."""
+    base = ["-e", fixture_paths["rinex2"], "-l", "35.681298,139.766247,10.0",
+            "-s", "1000000", "--mode", "tiled", "-d", "1.5"]
+    full = str(tmp_path / "full.bin")
+    assert main(base + ["-o", full]) == 0
+    parts = []
+    for h in range(2):
+        p = str(tmp_path / f"part{h}.bin")
+        assert main(base + ["-o", p, "--shard", f"{h}/2",
+                            "--dispatch-superframes", "2"]) == 0
+        parts.append(np.fromfile(p, dtype=np.int16))
+    want = np.fromfile(full, dtype=np.int16)
+    got = np.concatenate(parts)
+    assert want.size == got.size and np.array_equal(want, got)
+
+    # --shard validation (H out of range / malformed)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(base + ["--shard", "2/2", "-o", full])
+    with _pytest.raises(SystemExit):
+        main(base + ["--shard", "x", "-o", full])

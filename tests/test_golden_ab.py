@@ -347,3 +347,60 @@ def test_golden_10s_drift(oracle_exe, tmp_path, fixture_paths):
     snr, exact = _compare(ref_blocks, ours, min_snr_db=65.0,
                           min_exact=0.998)
     print(f"10s drift A/B: SNR {snr:.1f} dB, bit-exact {exact:.4%}")
+
+
+def test_doppler_resonant_block_tracks_precise(fixture_paths):
+    """Regression for the round-3 carrier fix: a channel whose Doppler
+    puts frac(f_carr/fs)*512 within ~1e-9 of an integer keeps the 9-bit
+    LUT index riding a boundary for the whole block.  The original
+    single-level f32 carrier residual (error +-1 u32 unit) collected
+    ~2k adjacent-LUT picks per such block; the two-level Q12+f32
+    residual (error 2^-12 units) must track the f64 precise path
+    sample-exactly here."""
+    from pluto_gps_sim_tpu.constants import MAX_CHAN
+    from pluto_gps_sim_tpu.models.cacode import CA_TABLE
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        pack_plan, synth_superframe_precise, synth_superframe_tiled)
+    from pluto_gps_sim_tpu.runtime.scheduler import SuperframePlan
+
+    fs = 2_600_000.0
+    N = 65536  # one kernel tile's worth, interpret-mode friendly
+    C = MAX_CHAN
+    rng = np.random.RandomState(11)
+
+    active = np.zeros((1, C), bool)
+    active[0, :4] = True
+    # channel 0: resonant Doppler (frac(u)*512 = 3 + 1e-9); channels
+    # 1-3: ordinary Dopplers
+    delt = 1.0 / fs
+    f_carr = np.zeros((1, C))
+    f_carr[0, 0] = ((3.0 + 1e-9) / 512.0) / delt
+    f_carr[0, 1:4] = [-2717.3, 395.9, -967.7]
+    f_code = 1_023_000.0 + f_carr / 1540.0
+    plan = SuperframePlan(
+        n_blocks=1, block_samples=N, delt=delt,
+        prn=np.where(active[0], np.arange(1, C + 1), 0).astype(np.int32),
+        ca2=(CA_TABLE[np.arange(C)] * 2 - 1).astype(np.int8),
+        bits=rng.choice([-1, 1], (C, 1800)).astype(np.int8),
+        active=active,
+        f_carr=f_carr, f_code=f_code,
+        code_phase=rng.uniform(0, 1023, (1, C)),
+        icode=rng.randint(0, 20, (1, C)).astype(np.int32),
+        ibit=rng.randint(0, 30, (1, C)).astype(np.int32),
+        iword=rng.randint(0, 10, (1, C)).astype(np.int32),
+        carr_phase=rng.uniform(0, 1, (1, C)),
+        gain=np.where(active, 0.8, 0.0),
+        azel=np.zeros((1, C, 2)),
+    )
+    dp = pack_plan(plan)
+    golden = synth_superframe_precise(dp)
+    packed = np.asarray(sp.synth_blocks_pallas(
+        sp.build_block_params(dp), sp.pack_ca_tables([dp.ca2]),
+        np.zeros(1, np.int32), N, interpret=True))[:, :N]
+    got = np.stack([(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (packed >> 16).astype(np.int16)], axis=-1)
+    bad = int((got != golden).sum())
+    assert bad == 0, f"{bad} components diverge on the resonant block"
+    tiled = synth_superframe_tiled(dp)
+    assert np.array_equal(tiled, golden), "tiled diverges on resonance"
