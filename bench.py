@@ -82,12 +82,13 @@ def main() -> None:
     tpu = jax.devices()[0]
 
     # ---- correctness gate: compiled kernel vs f64 precise path -----------
-    # Elementwise with discrimination: the kernel's u32 carrier NCO may
-    # legitimately pick the adjacent 9-bit LUT entry ~0.03x/block (its
-    # 2.3e-10-cycle trunc quantization vs the f64 path — a few-LSB error,
-    # same scale as the fp noise vs the reference), but ANY chip or
-    # nav-bit flip is a full-amplitude error (~2*512*gain per component)
-    # and fails loudly.  A wrong-but-fast kernel cannot bench.
+    # After the round-3 gain-trunc patches and three-level carrier
+    # residual, the kernel matches the f64 path to the NCOs' shared
+    # ~1e-11 quantization floors (measured 100.000000% / max err 0); the
+    # bound allows ~4 components of 2M, far below any real regression
+    # (a gain or carrier-level regression reads 1e-4..1e-3 here).  ANY
+    # chip or nav-bit flip is a full-amplitude error and fails loudly.
+    # A wrong-but-fast kernel cannot bench.
     sched_v = Scheduler(rin, g0, ieph, xyz, fs=fs)
     plan_v = sched_v.plan(4)
     dp_v = pack_plan(plan_v)
@@ -103,7 +104,7 @@ def main() -> None:
     exact = float(np.mean(got == golden))
     max_err = int(np.abs(got.astype(np.int64)
                          - golden.astype(np.int64)).max())
-    if exact < 0.9999 or max_err > 16:
+    if exact < 1.0 - 2e-6 or max_err > 8:
         print(json.dumps({"metric": "VERIFY_FAILED",
                           "bit_exact": exact, "max_err": max_err}))
         sys.exit(1)
@@ -111,16 +112,12 @@ def main() -> None:
     # second gate, full-superframe scale: compiled pallas vs compiled
     # tiled over 300 blocks, compared ON DEVICE so only 2 scalars cross
     # the tunnel.  (The RUN_TPU suite extends the same check to 990
-    # blocks + rollover.)  Rate bound 1e-3, not 1e-4: the kernel scales
-    # LUT values with f32 trunc(T*gain) while tiled/precise use the
-    # host's f64-trunc tables — when a block's f64 gain puts one entry's
-    # product within ~3e-5 of an integer, every sample hitting that
-    # entry differs by exactly 1 LSB, and slow-Doppler channels dwell on
-    # single entries for thousands of samples (measured: 5 such blocks /
-    # 16.3k of 154M components in this scenario's first superframe,
-    # 99.7% of errors exactly 1 LSB — invisible against the 82-87 dB
-    # oracle SNR).  A chip/nav flip is full-amplitude and still fails
-    # the max_err <= 16 bound loudly.
+    # blocks + rollover.)  The two round-3 fixes close what this gate
+    # used to tolerate: gain-trunc patch words reproduce the f64 tables'
+    # trunc exactly (was ~16.3k 1-LSB components/superframe on dwelling
+    # channels), and the Q24 carrier level drops u32 phase straddles to
+    # ~0.01/superframe (was ~40).  Bound allows ~15 of 156M components;
+    # a chip/nav flip is full-amplitude and still fails max_err <= 8.
     from pluto_gps_sim_tpu.ops.synth_jnp import synth_superframe_tiled_async
 
     plan_g = sched_v.plan(300)
@@ -146,7 +143,7 @@ def main() -> None:
         n_bad, m_err = jax.jit(_gate_stats, device=tpu)(packed_g, tiled_g)
     exact_g = 1.0 - int(np.asarray(n_bad)) / (2 * dp_g.n_blocks
                                               * dp_g.block_samples)
-    if exact_g < 0.999 or int(np.asarray(m_err)) > 16:
+    if exact_g < 1.0 - 1e-7 or int(np.asarray(m_err)) > 8:
         print(json.dumps({"metric": "VERIFY_FAILED_300BLK",
                           "bit_exact": exact_g,
                           "max_err": int(np.asarray(m_err))}))
@@ -171,7 +168,11 @@ def main() -> None:
                 s_col = int(src[c % n_act])
                 for base in (0, 12, 24, 36, 48, 60, 72, 84, 96, 108):
                     prmi[:, base + c] = prmi[:, base + s_col]
-                for base in (0, 12, 24, 36):
+                # every per-channel float lane incl. the gain (a stale
+                # base list here would leave clones zero-gain and time a
+                # lighter-than-12-channel kernel)
+                for base in (sp._F_SR12, sp._F_SREM, sp._F_CQ12,
+                             sp._F_RRR, sp._F_GAIN):
                     prmf[:, base + c] = prmf[:, base + s_col]
         ca_tabs = sp.pack_ca_tables([p.ca2 for p in plans])
         sf_map = np.concatenate(

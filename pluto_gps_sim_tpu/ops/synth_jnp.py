@@ -83,7 +83,8 @@ class DevicePlan:
     code_q12: np.ndarray    # [M, C, nt] int32  floor(P*4096) at tile start
     code_q24: np.ndarray    # [M, C, nt] int32  Q24 fraction at tile start
     code_q36: np.ndarray    # [M, C, nt] int32  Q36 fraction at tile start
-    carr_u32: np.ndarray    # [M, C, nt] int32  u32 phase at tile start
+    carr_u32: np.ndarray    # [M, C, nt] int32  floor u32 phase at tile start
+    carr_q12: np.ndarray    # [M, C, nt] int32  its sub-unit Q12 digit
 
 
 def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
@@ -122,14 +123,23 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
         code_q36 = np.floor((f12 - code_q24) * 4096.0).astype(np.int32)
         code_q24 = code_q24.astype(np.int32)
         code_q12 = code_q12.astype(np.int32)
+        # FLOOR anchors + the sub-unit Q12 digit seeding the residual
+        # cascade: a round()ed anchor is off by up to 0.5 u32 units, which
+        # flips the 9-bit LUT index whenever the true phase sits within
+        # that offset of a boundary (~124 components per 990-block run);
+        # floor + seed makes the integer phase an exact floor of the f64
+        # phase down to the f32 trunc level (2^-12 units, the precise
+        # path's own f64 rounding class — window 2^-34, ~0.03/990 blocks)
         carr_t = c0[..., None] + u[..., None] * tj
-        carr_u32 = (np.round((carr_t - np.floor(carr_t)) * 2.0**32)
-                    .astype(np.int64) & 0xFFFFFFFF)
+        carr_f = (carr_t - np.floor(carr_t)) * 2.0**32   # exact: 2^32 scale
+        carr_anchor = np.floor(carr_f)
+        carr_q12 = np.floor((carr_f - carr_anchor) * 4096.0).astype(np.int32)
+        carr_u32 = (carr_anchor.astype(np.int64) & 0xFFFFFFFF)
         carr_u32 = carr_u32.astype(np.uint32).view(np.int32)
     else:
         z = np.zeros((M, C, 0), np.int32)
         qcos_pm = qsin_pm = z
-        code_q12 = code_q24 = code_q36 = carr_u32 = z
+        code_q12 = code_q24 = code_q36 = carr_u32 = carr_q12 = z
 
     v_q12 = np.floor(v * 4096.0).astype(np.int32)
     r4 = v * 4096.0 - v_q12                    # Q12 residual per sample
@@ -145,8 +155,8 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
     step_u32 = (step & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     # two-level carrier step residual (synth_pallas._F_SR12 rationale):
     # a single f32 trunc level (error +-1 u32 unit) lets Doppler-resonant
-    # blocks collect adjacent-LUT picks; the Q12 level puts the in-tile
-    # ramp error at 2^-12 units
+    # blocks collect adjacent-LUT picks; the Q12 level puts the ramp
+    # error at 2^-12 units — the f64 closed form's own rounding class
     sres = (step_exact - step) * 4096.0
     sr12 = np.floor(sres).astype(np.int32)
     srem = (sres - sr12).astype(np.float32)
@@ -164,7 +174,7 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
         v_q12=v_q12, r24=r24, r36=r36, rrr=rrr,
         step_u32=step_u32, sr12=sr12, srem=srem,
         code_q12=code_q12, code_q24=code_q24, code_q36=code_q36,
-        carr_u32=carr_u32,
+        carr_u32=carr_u32, carr_q12=carr_q12,
     )
 
 
@@ -230,28 +240,31 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
     """Build a jitted superframe synthesizer for fixed shapes.
 
     Returns fn(ca2, bits, v_q12, r24, r36, rrr, step_u32, sr12, srem,
-               b0, ic0, code_q12, code_q24, code_q36, carr_u32, qcos_pm,
-               qsin_pm) -> int16 [M, N, 2].
+               b0, ic0, code_q12, code_q24, code_q36, carr_u32,
+               carr_q12, qcos_pm, qsin_pm) -> int16 [M, N, 2].
 
     NCOs are the Pallas kernel's multi-level scheme (synth_pallas.py) on
     per-tile f64-exact anchors, so in-tile n <= tile keeps every level
-    far inside its range: carrier = u32 ramp + two-level (Q12 + f32)
-    step residual (error 2^-12 u32 units), code = Q12 + Q24 + Q36
-    integer ramps + f32 fourth level (truncation 2^-36 chips = 1.5e-11,
-    the f64 closed form's own rounding floor; chip-boundary jitter
-    vanishes).
+    far inside its range: carrier = floor u32 anchor + two-level (Q12 +
+    f32) step residual seeded with the anchor's sub-unit Q12 digit (the
+    integer phase is then an exact floor of the f64 phase down to the
+    f32 trunc level, 2^-12 u32 units — the f64 closed form's own
+    rounding class), code = Q12 + Q24 + Q36 integer ramps + f32 fourth
+    level (truncation 2^-36 chips = 1.5e-11, the f64 closed form's own
+    rounding floor; chip-boundary jitter vanishes).
     """
     jf = jnp.arange(tile, dtype=jnp.float32)
     ji = jnp.arange(tile, dtype=jnp.int32)
     shr = jax.lax.shift_right_logical
 
     def chan_tile(vq, r24, r36, rrr, su32, sr12, srem, b0, ic0, cq12,
-                  cq24, cq36, cu32, ca2_c, bits_c, qc, qs):
-        # carrier: u32 NCO (int32 wraparound) + two-level residual
-        # (arithmetic >> 12 keeps floor semantics for negative sr12);
-        # logical shift leaves exactly 9 index bits (c:2697 semantics)
+                  cq24, cq36, cu32, cuq12, ca2_c, bits_c, qc, qs):
+        # carrier: floor u32 NCO (int32 wraparound) + Q12-seeded
+        # two-level residual (arithmetic >> 12 keeps floor semantics
+        # for negative sr12); logical shift leaves exactly 9 index
+        # bits (c:2697 semantics)
         ph = cu32 + su32 * ji + \
-            ((sr12 * ji + (srem * jf).astype(jnp.int32)) >> 12)
+            ((sr12 * ji + cuq12 + (srem * jf).astype(jnp.int32)) >> 12)
         itab = shr(ph, jnp.int32(23))
 
         # code: Q12 + Q24 + Q36 integer ramps + f32 fourth-level residual
@@ -268,36 +281,37 @@ def make_synth_tiled(n_blocks: int, block_samples: int, n_tiles: int,
     # vmap over tiles, then channels
     tiles_chan = jax.vmap(chan_tile,
                           in_axes=(None, None, None, None, None, None,
-                                   None, None, None, 0, 0, 0, 0,
+                                   None, None, None, 0, 0, 0, 0, 0,
                                    None, None, None, None))
 
     def block(vq, r24, r36, rrr, su32, sr12, srem, b0, ic0, cq12, cq24,
-              cq36, cu32, ca2, bits, qc, qs):
+              cq36, cu32, cuq12, ca2, bits, qc, qs):
         def chan(vq_c, r24_c, r36_c, rrr_c, su_c, s12_c, srm_c, b0_c,
-                 ic0_c, cq12_c, cq24_c, cq36_c, cu_c, ca2_c, bits_c,
-                 qc_c, qs_c):
+                 ic0_c, cq12_c, cq24_c, cq36_c, cu_c, cuq_c, ca2_c,
+                 bits_c, qc_c, qs_c):
             return tiles_chan(vq_c, r24_c, r36_c, rrr_c, su_c, s12_c,
                               srm_c, b0_c, ic0_c, cq12_c, cq24_c, cq36_c,
-                              cu_c, ca2_c, bits_c, qc_c, qs_c)
+                              cu_c, cuq_c, ca2_c, bits_c, qc_c, qs_c)
         ivals, qvals = jax.vmap(chan)(vq, r24, r36, rrr, su32, sr12,
                                       srem, b0, ic0, cq12, cq24, cq36,
-                                      cu32, ca2, bits, qc, qs)
+                                      cu32, cuq12, ca2, bits, qc, qs)
         # [C, nt, tile] -> sum channels -> [nt*tile] -> [N]
         i_acc = jnp.sum(ivals, axis=0).reshape(-1)[:block_samples]
         q_acc = jnp.sum(qvals, axis=0).reshape(-1)[:block_samples]
         return jnp.stack([i_acc, q_acc], axis=-1).astype(jnp.int16)
 
     def superframe(ca2, bits, v_q12, r24, r36, rrr, step_u32, sr12,
-                   srem, b0, ic0, code_q12, code_q24, code_q36, carr_u32,
-                   qcos_pm, qsin_pm):
+                   srem, b0, ic0, code_q12, code_q24, code_q36,
+                   carr_u32, carr_q12, qcos_pm, qsin_pm):
         def one(args):
             (vq, r24_, r36_, rrr_, su, s12, srm, b0_, ic0_, c12, c24,
-             c36, cu, qc, qs) = args
+             c36, cu, cuq, qc, qs) = args
             return block(vq, r24_, r36_, rrr_, su, s12, srm, b0_, ic0_,
-                         c12, c24, c36, cu, ca2, bits, qc, qs)
+                         c12, c24, c36, cu, cuq, ca2, bits, qc, qs)
         return jax.lax.map(one, (v_q12, r24, r36, rrr, step_u32, sr12,
                                  srem, b0, ic0, code_q12, code_q24,
-                                 code_q36, carr_u32, qcos_pm, qsin_pm))
+                                 code_q36, carr_u32, carr_q12, qcos_pm,
+                                 qsin_pm))
 
     return jax.jit(superframe)
 
@@ -319,6 +333,7 @@ def synth_superframe_tiled_async(dp: DevicePlan, device=None):
             jnp.asarray(dp.b0), jnp.asarray(dp.ic0),
             jnp.asarray(dp.code_q12), jnp.asarray(dp.code_q24),
             jnp.asarray(dp.code_q36), jnp.asarray(dp.carr_u32),
+            jnp.asarray(dp.carr_q12),
             jnp.asarray(dp.qcos_pm), jnp.asarray(dp.qsin_pm)]
     if device is not None:
         args = [jax.device_put(a, device) for a in args]

@@ -4,14 +4,18 @@ One kernel replaces the reference's entire per-sample hot loop
 (plutogpssim.c:2690-2756).  Per (block, time-tile) grid cell it evaluates,
 for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
 
-  carrier   uint32 NCO + two-level step-quantization residual ramp:
-            phase = phase0_u32 + step_u32*n
-                  + ((sr12*n + trunc(srem*n)) >> 12)
-            (sr12 = floor(stepres*4096), srem its remainder); LUT index
-            = phase >> 23 replicates floor(carr_phase*512) (c:2697) to
-            2^-12 u32 units ~ 6e-14 cycles — one f32 level (error +-1
-            unit) let Doppler-resonant blocks collect ~2k adjacent-LUT
-            picks; two levels remove them
+  carrier   floor uint32 NCO + Q12-seeded step-quantization residual:
+            phase = floor_u32(phase0) + step_u32*n
+                  + ((sr12*n + cq12 + trunc(srem*n)) >> 12)
+            (sr12 = floor(stepres*4096), srem its remainder, cq12 the
+            floored anchor's sub-unit Q12 digit); LUT index =
+            phase >> 23 replicates floor(carr_phase*512) (c:2697) as an
+            exact floor of the f64 phase down to the f32 trunc level
+            (2^-12 u32 units, the f64 closed form's own rounding class).
+            History: one f32 level (error +-1 unit) let Doppler-resonant
+            blocks collect ~2k adjacent-LUT picks; a round()ed anchor
+            without the cq12 seed sat up to 0.5 units off and flipped
+            ~124 boundary-straddling samples per 990 blocks
   code      four-level integer NCO:
             chips*4096 = cp0_q12 + v_q12*n + ((res0_q24 + r24*n
                        + ((res0_q36 + r36*n + trunc(rrr*n)) >> 12)) >> 12)
@@ -54,11 +58,15 @@ for all 12 channel slots, closed-form NCOs and mixes into packed int16 IQ:
             — memory-identical to the reference's interleaved
             little-endian int16 stream (c:2754)
 
-All per-(block,channel) parameters are packed into two [M, 128] planes
-(int32 and float32) — 1 KB/block over the host link — padded on device
-to the [M, 8, 128] VMEM tile the kernel reads back as scalars with
-static lane indices.  SMEM is too small for thousands of blocks of
-prefetched parameters, and Mosaic has no scalar bitcast.
+All per-(block,channel) parameters are packed into two [M, 256] planes
+(int32 and float32, 2 KB/block over the host link): row 0 holds the
+per-channel params, the second half packs the gain-trunc patch slots.
+On device they expand to the [M, 8, 128] VMEM tile — patch slot k's
+copies of its owning channel's params land in SUBLANE row 1+k at static
+lanes, so the kernel's patch fori_loop addresses slots by dynamic
+sublane (lowerable) instead of dynamic lane (not lowerable).  SMEM is
+too small for thousands of blocks of prefetched parameters, and Mosaic
+has no scalar bitcast.
 
 Channel slots are static (12), masked by zeroed gain tables, so rise/set
 never changes shapes.  Multiple 30 s superframes batch into one call
@@ -105,13 +113,55 @@ _C = MAX_CHAN
 _P_PHASE0, _P_STEP, _P_CP0Q, _P_VQ, _P_NBM, _P_IC0 = 0, 12, 24, 36, 48, 60
 _P_RES0Q24, _P_R24 = 72, 84
 _P_RES0Q36, _P_R36 = 96, 108
-# carrier step residual, two levels: sr12 = floor(stepres*4096) carried
-# as f32 (exact, |sr12| <= 2048) and its [0,1) remainder.  One f32 level
+# carrier step residual: sr12 = floor(stepres*4096) carried as f32
+# (exact, |sr12| <= 2048) and its [0,1) f32 remainder.  One f32 level
 # (trunc(stepres*n), error up to +-1 u32 unit) was enough for SNR but
 # made Doppler-resonant blocks — frac(f_carr/fs)*512 within ~1e-3 of an
 # integer — collect ~2k adjacent-LUT picks per block; the Q12 level puts
-# the ramp error at 2^-12 units and removes the phenomenon.
-_F_SR12, _F_SREM, _F_RRR, _F_GAIN = 0, 12, 24, 36
+# the ramp error at 2^-12 units.  CQ12 is the sub-unit Q12 digit of the
+# FLOORed phase anchor, seeding the residual cascade: a round()ed anchor
+# sat up to 0.5 u32 units off the f64 phase, flipping the 9-bit LUT
+# index on boundary-straddling samples (~124 components per 990-block
+# run); with floor + seed the integer phase is an exact floor of the
+# f64 phase down to the f32 trunc level (~0.03 per 990 blocks).
+_F_SR12, _F_SREM, _F_CQ12, _F_RRR, _F_GAIN = 0, 12, 24, 36, 48
+# gain-trunc patch slots: the kernel's per-sample iv = trunc(f32(T)*f32(g))
+# differs from the f64 tables' trunc(T*g) by exactly +-1 on LUT entries
+# whose product lands within f32 rounding of an integer (~0.02 entries
+# per block, measured).  build_block_params detects every such entry
+# host-side (f32 prefilter + exact f64 check over the 223 distinct
+# magnitudes) and emits one patch word per (entry, half); the kernel
+# applies them behind a scalar pl.when that is almost never taken, so
+# the fused path reproduces the f64 tables bit-for-bit at ~zero cost.
+# Word encoding (f32-exact integer, 0 = empty slot):
+#   bits [15:6] |T| magnitude, [5:2] channel, [1] half (0=I,1=Q),
+#   [0] delta sign (0 -> +1, 1 -> -1)
+_N_PATCH = 7
+# running count of patch words dropped to the per-block slot cap (gains
+# within ~2^-25 of a small rational flip many magnitudes at once; the
+# dropped entries degrade to the kernel's f32 trunc, +-1 LSB)
+PATCH_DROPPED = 0
+
+# Patch slot k's data lives in param-plane ROW 1+k (the kernel's VMEM
+# tile is 8 sublanes anyway; shipped packed in [M, 256], expanded on
+# device): the owning channel's params at STATIC lanes plus the patch
+# word itself.  The kernel's patch pass is ONE fori_loop whose body
+# reads row 1+k at a DYNAMIC sublane (Mosaic allows dynamic sublane
+# indexing — the offset is provably a lane multiple — but not dynamic
+# lane indexing, and unrolled per-slot regions exploded compile time
+# and cost 15% runtime as 12 separate guarded regions).
+_SLOT_I = {_P_PHASE0: 0, _P_STEP: 1, _P_CP0Q: 2, _P_VQ: 3, _P_NBM: 4,
+           _P_IC0: 5, _P_RES0Q24: 6, _P_R24: 7, _P_RES0Q36: 8, _P_R36: 9}
+_SLOT_I_W = 10
+_SLOT_F = {_F_SR12: 0, _F_SREM: 1, _F_CQ12: 2, _F_RRR: 3, _F_GAIN: 4}
+_SLOT_WORD = 5            # float slot lane holding the patch word
+_SLOT_F_W = 6
+assert _SLOT_I_W * _N_PATCH <= _LANES and _SLOT_F_W * _N_PATCH <= _LANES
+
+
+def patch_word_lane(k: int) -> int:
+    """Lane of patch slot k's word in the packed [M, 256] float plane."""
+    return _LANES + _SLOT_F_W * k + _SLOT_WORD
 
 # 1/1023 rounded UP in f32: trunc(chip * _INV1023) == chip // 1023 exactly
 # for 0 <= chip < 600_000 (verified exhaustively; max chip under
@@ -119,9 +169,21 @@ _F_SR12, _F_SREM, _F_RRR, _F_GAIN = 0, 12, 24, 36
 _INV1023 = np.float32(np.nextafter(np.float32(1.0 / 1023.0),
                                    np.float32(np.inf)))
 
+# distinct nonzero |T| over both LUT halves, for the gain-trunc patch
+# detector (see _SLOT_I): trunc is odd, so checking each magnitude once
+# covers all four quadrant entries carrying +-T
+_MAGS64 = np.unique(np.abs(np.concatenate(
+    [np.asarray(COS_TABLE_512, np.int64),
+     np.asarray(SIN_TABLE_512, np.int64)])))
+_MAGS64 = _MAGS64[_MAGS64 > 0].astype(np.float64)
+_MAG_IN_COS = np.isin(_MAGS64.astype(np.int64),
+                      np.abs(np.asarray(COS_TABLE_512, np.int64)))
+_MAG_IN_SIN = np.isin(_MAGS64.astype(np.int64),
+                      np.abs(np.asarray(SIN_TABLE_512, np.int64)))
+
 
 def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
-            *out_and_scratch, SUB=_SUB):
+            *out_and_scratch, SUB=_SUB, PATCHES=True):
     out_refs = out_and_scratch[:-1]
     out_ref = out_refs[0] if len(out_refs) == 1 else list(out_refs)
     acc_scr = out_and_scratch[-1]
@@ -148,15 +210,24 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
     for c in range(_C):
         nact += (getf(_F_GAIN, c) != 0.0).astype(jnp.int32)
 
-    for c in range(_C):
-      # inactive channels are zero-gain; skip their work entirely
-      @pl.when(getf(_F_GAIN, c) != 0.0)
-      def _chan(c=c):
-          # carrier NCO: u32 ramp + two-level step-quantization residual
-          # (Q12 integer + f32 remainder; arithmetic >> 12 keeps floor
-          # semantics for negative sr12 — ramp error <= 2^-12 units)
+    def chan_vals(geti, getf, ca_row, c=None):
+        # Per-sample chain for one channel.  In the main loop the
+        # accessors are true scalar loads at a PYTHON channel index
+        # (CSE across the unroll); in the patch regions below they are
+        # broadcast lane-gathers at a TRACED channel (Mosaic cannot
+        # scalar-load a dynamic lane, so the "scalars" become
+        # uniform vectors there — fine, those regions run ~0.02x/block).
+        # ca_row is the channel's bit-packed C/A row, [_LANES] int32.
+        # Returns (tc, ts, m, u): the signed LUT pair, the spreading
+        # mask, and the biased packed gain-scaled sample.
+        if True:
+          # carrier NCO: floor u32 anchor + two-level step residual
+          # seeded with the anchor's sub-unit Q12 digit (arithmetic
+          # >> 12 keeps floor semantics for negative sr12 — the integer
+          # phase floors the f64 phase to the f32 trunc level, 2^-12)
           sr12 = getf(_F_SR12, c).astype(jnp.int32)
-          resc = (sr12 * n
+          cq12c = getf(_F_CQ12, c).astype(jnp.int32)
+          resc = (sr12 * n + cq12c
                   + (getf(_F_SREM, c) * nf).astype(jnp.int32)) >> 12
           phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
           # logical shift of the u32 phase leaves exactly 9 index bits
@@ -194,7 +265,7 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
 
           # C/A chip sign: bit-packed word gather + variable shift
-          wrow = jnp.broadcast_to(ca2_ref[0, c, 0, :], (SUB, _LANES))
+          wrow = jnp.broadcast_to(ca_row, (SUB, _LANES))
           word = jnp.take_along_axis(
               wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
           cbit = jax.lax.shift_right_logical(
@@ -233,15 +304,89 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
           u = (iv + jnp.int32(1024)) | \
               jax.lax.shift_left(qv + jnp.int32(1024), jnp.int32(16))
 
-          # spreading sign (chip XOR nav): both biased halves negate
-          # around the bias, BIAS2 - u, with no cross-half borrow
-          # (halves are in [0, 2048]); mask-and form beats jnp.where
-          # on the VPU (no predicate registers needed)
+          # spreading sign (chip XOR nav): mask of all-ones where the
+          # sample negates
           m = -(cbit ^ nbit)
+          return tc, ts, m, u
+
+    for c in range(_C):
+      # inactive channels are zero-gain; skip their work entirely
+      @pl.when(getf(_F_GAIN, c) != 0.0)
+      def _chan(c=c):
+          tc, ts, m, u = chan_vals(geti, getf, ca2_ref[0, c, 0, :], c)
+          # both biased halves negate around the bias, BIAS2 - u, with
+          # no cross-half borrow (halves are in [0, 2048]); mask-and
+          # form beats jnp.where on the VPU (no predicate registers)
           acc_scr[0] += u + ((jnp.int32(2048 | (2048 << 16)) -
                               jax.lax.shift_left(u, jnp.int32(1))) & m)
 
-    # epilogue: un-bias both halves, emit I/Q
+    # gain-trunc patches (see _SLOT_I): correct the rare LUT entries
+    # where f32 trunc(T*g) != the f64 tables' trunc.  A single
+    # fori_loop over the occupied slots — ONE chain in the IR, a branch
+    # the ~98% of blocks with no patch never take, and the body costs
+    # only when a patch exists (~0.02x/block).  (Two rejected forms:
+    # per-slot guarded regions referencing the main loop's live
+    # tc/ts/m made Mosaic materialize those intermediates, -45%
+    # throughput; 12 unrolled self-contained regions compiled 5x slower
+    # and still cost -15%.)  PATCHES=False compiles the pass out
+    # entirely when the caller can see there are no patch words.
+    if not PATCHES:
+        _emit_epilogue(acc_scr, nact, out_ref)
+        return
+    nmax = jnp.int32(0)
+    for k in range(_N_PATCH):
+        wk = prmf_ref[0, 1 + k, _SLOT_WORD]
+        nmax = jnp.where(wk != 0.0, jnp.int32(k + 1), nmax)
+
+    @pl.when(nmax > jnp.int32(0))
+    def _patches():
+        def slot_body(k, carry):
+            row = 1 + k
+            wk = prmf_ref[0, row, _SLOT_WORD].astype(jnp.int32)
+            c = jax.lax.shift_right_logical(wk, jnp.int32(2)) & jnp.int32(15)
+            mag = jax.lax.shift_right_logical(wk, jnp.int32(6))
+            half = jax.lax.shift_right_logical(
+                wk, jnp.int32(1)) & jnp.int32(1)
+            neg = wk & jnp.int32(1)
+
+            # owning channel's params at static lanes of the slot row
+            def geti_slot(col, _c):
+                return prmi_ref[0, row, _SLOT_I[col]]
+
+            def getf_slot(col, _c):
+                return prmf_ref[0, row, _SLOT_F[col]]
+
+            # only the C/A row needs the runtime channel: select-sum
+            # (scalar-cond vector selects, no dynamic VMEM indexing)
+            ca_row = ca2_ref[0, 0, 0, :] * jnp.int32(0)
+            for cc in range(_C):
+                ca_row += jnp.where(c == jnp.int32(cc),
+                                    ca2_ref[0, cc, 0, :], jnp.int32(0))
+            tc, ts, m, _ = chan_vals(geti_slot, getf_slot, ca_row, c)
+            # delta folds into the compare order: p = (t==a)-(t==b) is
+            # +-1 exactly at the patched magnitude's two signed values
+            # (trunc is odd, so the mirrored entry gets the mirrored
+            # correction).  An EMPTY slot (wk == 0, possible mid-range
+            # after channel-shard filtering) self-cancels: mag = 0
+            # makes both compares identical, so p = 0.
+            a = jnp.where(neg == 0, mag, -mag)
+            b = jnp.where(neg == 0, -mag, mag)
+            tgt = jnp.where(half == 0, tc, ts)
+            p_ = (tgt == a).astype(jnp.int32) - (tgt == b).astype(jnp.int32)
+            # spreading sign flips the correction like the sample
+            # itself: term = p - (2p & m); shift into the Q half when
+            # the patch targets the sin table
+            term = p_ - (jax.lax.shift_left(p_, jnp.int32(1)) & m)
+            acc_scr[0] += jax.lax.shift_left(term, half * jnp.int32(16))
+            return carry
+
+        jax.lax.fori_loop(0, nmax, slot_body, jnp.int32(0))
+
+    _emit_epilogue(acc_scr, nact, out_ref)
+
+
+def _emit_epilogue(acc_scr, nact, out_ref):
+    """Un-bias both halves of the packed accumulator, emit I/Q."""
     bias = nact * jnp.int32(1024)
     acc = acc_scr[0]
     i_val = (acc & jnp.int32(0xFFFF)) - bias
@@ -270,9 +415,9 @@ def choose_tile(block_samples: int) -> int:
 @functools.cache
 def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
               packed: bool = True, interpret: bool = False,
-              tile: int = TILE_SAMPLES):
+              tile: int = TILE_SAMPLES, patches: bool = True):
     sub = tile // _LANES
-    kernel = functools.partial(_kernel, SUB=sub)
+    kernel = functools.partial(_kernel, SUB=sub, PATCHES=patches)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sf_map
         grid=(n_blocks, n_tiles),
@@ -302,12 +447,24 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
     call = pl.pallas_call(kernel, out_shape=out_shape,
                           grid_spec=grid_spec, interpret=interpret)
 
+    def expand(p, w):
+        # [M, 256] -> [M, 8, 128]: row 0 = per-channel params; packed
+        # patch slot k (width w at lanes 128 + w*k) -> row 1+k lanes
+        # 0..w-1 (the kernel's fori_loop indexes slots by SUBLANE —
+        # dynamic lane indexing is not lowerable).  Static slices +
+        # pads; XLA fuses this into the transfer epilogue.
+        rows = [p[:, None, :_LANES]]
+        for k in range(_N_PATCH):
+            seg = p[:, _LANES + w * k:_LANES + w * (k + 1)]
+            rows.append(jnp.pad(seg, ((0, 0), (0, _LANES - w)))[:, None, :])
+        return jnp.concatenate(rows, axis=1)
+
     def fn(sf_map, prmi, prmf, ca_tabs, rawtab):
-        # params ship as [M, 128] (1 KB/block over the host link) and are
-        # padded on device to the kernel's [M, 8, 128] VMEM tile
-        pad = ((0, 0), (0, 7), (0, 0))
-        return call(sf_map, jnp.pad(prmi[:, None, :], pad),
-                    jnp.pad(prmf[:, None, :], pad), ca_tabs, rawtab)
+        # params ship as [M, 256] (2 KB/block over the host link: row 0
+        # per-channel params, the rest packed patch slots) and expand on
+        # device into the kernel's [M, 8, 128] VMEM tile
+        return call(sf_map, expand(prmi, _SLOT_I_W),
+                    expand(prmf, _SLOT_F_W), ca_tabs, rawtab)
 
     return jax.jit(fn)
 
@@ -330,7 +487,12 @@ def build_block_params(dp):
     cp0 = np.where(act, dp.cp0, 0.0)
     v = np.where(act, dp.v, 0.0)
 
-    phase0 = np.round((c0 - np.floor(c0)) * 2.0**32).astype(np.int64)
+    # FLOOR anchor + sub-unit Q12 digit (see _F_CQ12 comment): the f64
+    # product frac(c0)*2^32 is exact (power-of-two scale), so both the
+    # integer anchor and its Q12 digit are exact digit extractions
+    phase0_f = (c0 - np.floor(c0)) * 2.0**32
+    phase0 = np.floor(phase0_f).astype(np.int64)
+    cq12 = np.floor((phase0_f - phase0) * 4096.0).astype(np.float32)
     step_exact = (u - np.floor(u)) * 2.0**32
     step = np.round(step_exact).astype(np.int64)
     phase0_u32 = (phase0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
@@ -372,8 +534,62 @@ def build_block_params(dp):
 
     gain = np.where(act, dp.gain, 0.0).astype(np.float32)
 
-    prmi = np.zeros((M, _LANES), dtype=np.int32)
-    prmf = np.zeros((M, _LANES), dtype=np.float32)
+    # ---- gain-trunc patch words (see _SLOT_I) -----------------------------
+    # f32 prefilter: a trunc mismatch needs |T*g| within |p32 - p64| <=
+    # p*2^-23.6 <= 2^-13.6 of an integer, so products whose f32 value sits
+    # >= 2^-12 from every integer are provably clean; the exact f64-vs-f32
+    # comparison runs only on the surviving ~1e-4 of entries.  Cost control
+    # (the pipelined stream is host-bound): active pairs only, round via
+    # the 1.5*2^23 magic add (exact rint for |p| < 2^22), and a per-pair
+    # any() reduction before materializing candidate indices.
+    patch = np.zeros((M, _N_PATCH), np.float32)
+    slot_owner = []                                # (block, slot, channel)
+    dropped = 0
+    am, ac = np.nonzero(act)                       # [A] active (block, chan)
+    if am.size:
+        ga32 = gain[am, ac]                        # [A] f32
+        p32 = ga32[:, None] * _MAGS64.astype(np.float32)[None, :]
+        magic = np.float32(12582912.0)             # 1.5 * 2^23
+        frac = p32 - ((p32 + magic) - magic)
+        near = np.abs(frac) < np.float32(2.0 ** -12)
+        rows = np.nonzero(near.any(axis=1))[0]
+        nslot = np.zeros(M, np.int32)
+        for r in rows:
+            m, c = int(am[r]), int(ac[r])
+            gg = float(dp.gain[m, c])
+            for j in np.nonzero(near[r])[0]:
+                t64 = np.trunc(_MAGS64[j] * gg)
+                t32 = np.trunc(np.float32(_MAGS64[j]) * np.float32(gg))
+                d = int(t64 - float(t32))
+                if d == 0:
+                    continue
+                # truncs of two reals within 2^-12 differ by at most 1
+                assert abs(d) == 1, "gain-trunc delta out of range"
+                for half, member in ((0, _MAG_IN_COS[j]),
+                                     (1, _MAG_IN_SIN[j])):
+                    if not member:
+                        continue
+                    k = int(nslot[m])
+                    # typical blocks need 0-2 words, but a gain within
+                    # ~2^-25 of a small rational p/q flips MANY multiples
+                    # of q at once (measured: g ~ 17/31 - 3e-9 -> 16
+                    # words; q=3 could need ~148).  Overflow degrades
+                    # gracefully: the dropped entries keep the kernel's
+                    # f32 trunc, a +-1 LSB effect on one block's dwell
+                    # samples (~95+ dB), counted in PATCH_DROPPED.
+                    if k >= _N_PATCH:
+                        dropped += 1
+                        continue
+                    patch[m, k] = float(
+                        (int(_MAGS64[j]) << 6) | (c << 2)
+                        | (half << 1) | (1 if d < 0 else 0))
+                    slot_owner.append((m, k, c))
+                    nslot[m] = k + 1
+    global PATCH_DROPPED
+    PATCH_DROPPED += dropped
+
+    prmi = np.zeros((M, 2 * _LANES), dtype=np.int32)
+    prmf = np.zeros((M, 2 * _LANES), dtype=np.float32)
     prmi[:, _P_PHASE0:_P_PHASE0 + C] = phase0_u32
     prmi[:, _P_STEP:_P_STEP + C] = step_u32
     prmi[:, _P_CP0Q:_P_CP0Q + C] = cp0q.astype(np.int32)
@@ -386,8 +602,18 @@ def build_block_params(dp):
     prmi[:, _P_R36:_P_R36 + C] = r36.astype(np.int32)
     prmf[:, _F_SR12:_F_SR12 + C] = sr12
     prmf[:, _F_SREM:_F_SREM + C] = srem
+    prmf[:, _F_CQ12:_F_CQ12 + C] = cq12
     prmf[:, _F_RRR:_F_RRR + C] = rrr
     prmf[:, _F_GAIN:_F_GAIN + C] = gain
+    # patch slots: the word plus copies of the owning channel's params
+    # at the slot's static lanes (see _SLOT_I/_SLOT_F; expanded to
+    # per-slot sublane rows on device)
+    for m, k, c in slot_owner:
+        for base, j in _SLOT_I.items():
+            prmi[m, _LANES + _SLOT_I_W * k + j] = prmi[m, base + c]
+        for base, j in _SLOT_F.items():
+            prmf[m, _LANES + _SLOT_F_W * k + j] = prmf[m, base + c]
+        prmf[m, _LANES + _SLOT_F_W * k + _SLOT_WORD] = patch[m, k]
     return prmi, prmf
 
 
@@ -452,7 +678,7 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         interpret: bool = False):
     """Run the fused kernel.
 
-    prm: build_block_params output ([M,128] int plane, [M,128] float
+    prm: build_block_params output ([M,256] int plane, [M,256] float
     plane); ca2_tables: [NS, C, 1, 128] int32; sf_map: [M] int32
     block->superframe map.
     Returns packed int32 IQ [M, n_tiles*TILE_SAMPLES]; trim each row to
@@ -467,7 +693,14 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     # n <= (2^31 - 1 - 4095)/4096 = 524287, i.e. nt*tile <= 524288
     assert nt * tile <= 524_288, \
         f"padded block ({nt * tile}) exceeds the Q24/Q36 ramp range"
-    fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile)
+    # compile the gain-trunc patch pass out when the (host-visible)
+    # param plane provably carries no patch slots — the common case for
+    # short scenarios and synthetic params, and it keeps interpret-mode
+    # XLA-CPU graphs small
+    patches = not (isinstance(prmf, np.ndarray)
+                   and not np.any(prmf[:, _LANES:]))
+    fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile,
+                   patches)
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),
             jnp.asarray(_RAWTAB)]

@@ -49,7 +49,12 @@ def pad_time_shards(prmi: np.ndarray, prmf: np.ndarray, sf_map: np.ndarray,
 
 def shard_channel_params(prmf: np.ndarray, n_chan_shards: int) -> np.ndarray:
     """Replicate the float param plane per channel shard, zeroing the gain
-    of channels owned by other shards -> [n_shards, M, 128]."""
+    of channels owned by other shards -> [n_shards, M, 2*128].
+
+    Gain-trunc patch words are also filtered to the shard's channel
+    range: a patch region runs unconditionally in-kernel (no gain
+    guard), so a word left replicated would be applied once per shard
+    and corrupt the psum by n_shards-1 extra deltas."""
     out = np.repeat(prmf[None], n_chan_shards, axis=0)
     bounds = np.linspace(0, MAX_CHAN, n_chan_shards + 1).astype(int)
     for s in range(n_chan_shards):
@@ -57,6 +62,12 @@ def shard_channel_params(prmf: np.ndarray, n_chan_shards: int) -> np.ndarray:
         for c in range(MAX_CHAN):
             if not (lo <= c < hi):
                 out[s, :, sp._F_GAIN + c] = 0.0
+        for k in range(sp._N_PATCH):
+            lane = sp.patch_word_lane(k)
+            w = out[s, :, lane].astype(np.int64)
+            chan = (w >> 2) & 15
+            foreign = (w != 0) & ((chan < lo) | (chan >= hi))
+            out[s, foreign, lane] = 0.0
     return out
 
 
@@ -88,8 +99,8 @@ def synth_sharded(mesh: Mesh, prmi: np.ndarray, prmf_sharded: np.ndarray,
                   block_samples: int, interpret: bool | None = None):
     """Run the sharded synthesis over `mesh` -> packed int32 IQ [M, NT].
 
-    prmi [M,128] int32 (sharded over time), prmf_sharded
-    [chan_shards, M, 128] f32 (sharded over (chan, time)),
+    prmi [M,256] int32 (sharded over time), prmf_sharded
+    [chan_shards, M, 256] f32 (sharded over (chan, time)),
     ca2_tables replicated, sf_map [M] int32 (sharded over time)."""
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"

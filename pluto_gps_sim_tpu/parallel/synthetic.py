@@ -51,7 +51,7 @@ def synthetic_params(n_blocks: int, block_samples: int, seed: int = 3):
         step_u32=np.zeros((M, C), np.int32),
         sr12=np.zeros((M, C), np.int32),
         srem=np.zeros((M, C), np.float32),
-        code_q12=z3, code_q24=z3, code_q36=z3, carr_u32=z3,
+        code_q12=z3, code_q24=z3, code_q36=z3, carr_u32=z3, carr_q12=z3,
     )
     prmi, prmf = sp.build_block_params(dp)
     ca_tabs = sp.pack_ca_tables([dp.ca2])

@@ -311,15 +311,15 @@ def test_pallas_matches_precise(fixture_paths):
     # int32 (I | Q<<16) little-endian == interleaved int16 I,Q
     iq = np.stack([(packed[:, :n] & 0xFFFF).astype(np.uint16).view(np.int16),
                    (packed[:, :n] >> 16).astype(np.int16)], axis=-1)
-    snr = _snr_db(golden.reshape(-1), iq.reshape(-1))
+    # round 3: with the gain-trunc patch words and the three-level
+    # carrier residual the kernel reproduces the f64 golden path
+    # sample-exactly on this scenario (deterministic — same fixture,
+    # same arithmetic every run)
     exact = float(np.mean(golden == iq))
     max_err = int(np.abs(iq.astype(np.int64)
                          - golden.astype(np.int64)).max())
-    assert snr >= 70.0, f"pallas vs precise SNR {snr:.1f} dB"
-    assert exact >= 0.9999, f"bit-exact {exact:.6%}"
-    # discrimination: adjacent-LUT picks are few-LSB; any chip/nav flip
-    # is ~2*512*gain and must fail
-    assert max_err <= 16, f"max component err {max_err} (chip/nav flip?)"
+    assert np.array_equal(iq, golden), \
+        f"pallas vs precise: bit-exact {exact:.6%}, max err {max_err}"
 
 
 def test_golden_10s_drift(oracle_exe, tmp_path, fixture_paths):
@@ -404,3 +404,141 @@ def test_doppler_resonant_block_tracks_precise(fixture_paths):
     assert bad == 0, f"{bad} components diverge on the resonant block"
     tiled = synth_superframe_tiled(dp)
     assert np.array_equal(tiled, golden), "tiled diverges on resonance"
+
+
+def test_gain_trunc_patch_exact(fixture_paths):
+    """Regression for the round-3 gain-trunc patch: the kernel's per-sample
+    iv = trunc(f32(T)*f32(g)) differs from the f64 tables' trunc(T*g) by
+    1 LSB on LUT entries whose product lands within f32 rounding of an
+    integer (~0.02 entries/block on real scenarios).  build_block_params
+    detects these host-side and emits per-block patch words
+    (synth_pallas._SLOT_I et al.) that the kernel applies in a guarded
+    fori_loop; with them the fused kernel must reproduce the f64 precise
+    path sample-exactly even on a gain chosen to sit on such a boundary."""
+    from pluto_gps_sim_tpu.constants import MAX_CHAN
+    from pluto_gps_sim_tpu.models.cacode import CA_TABLE
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        pack_plan, synth_superframe_precise)
+    from pluto_gps_sim_tpu.runtime.scheduler import SuperframePlan
+
+    # this gain puts 405*g within f32 rounding of an integer:
+    # trunc_f64 = 367, trunc_f32 = 368 (405 appears in both LUT halves)
+    g_boundary = 0.9086419713826426
+    assert (np.trunc(405 * g_boundary)
+            != float(np.trunc(np.float32(405) * np.float32(g_boundary)))), \
+        "test gain no longer sits on a trunc boundary"
+
+    fs = 2_600_000.0
+    N = 65536
+    C = MAX_CHAN
+    rng = np.random.RandomState(7)
+    active = np.zeros((1, C), bool)
+    active[0, :3] = True
+    f_carr = np.zeros((1, C))
+    f_carr[0, :3] = [-2717.3, 395.9, -967.7]
+    f_code = 1_023_000.0 + f_carr / 1540.0
+    gain = np.where(active, 0.5, 0.0)
+    gain[0, 1] = g_boundary
+    plan = SuperframePlan(
+        n_blocks=1, block_samples=N, delt=1.0 / fs,
+        prn=np.where(active[0], np.arange(1, C + 1), 0).astype(np.int32),
+        ca2=(CA_TABLE[np.arange(C)] * 2 - 1).astype(np.int8),
+        bits=rng.choice([-1, 1], (C, 1800)).astype(np.int8),
+        active=active, f_carr=f_carr, f_code=f_code,
+        code_phase=rng.uniform(0, 1023, (1, C)),
+        icode=rng.randint(0, 20, (1, C)).astype(np.int32),
+        ibit=rng.randint(0, 30, (1, C)).astype(np.int32),
+        iword=rng.randint(0, 10, (1, C)).astype(np.int32),
+        carr_phase=rng.uniform(0, 1, (1, C)),
+        gain=gain, azel=np.zeros((1, C, 2)))
+    dp = pack_plan(plan)
+    golden = synth_superframe_precise(dp)
+    prmi, prmf = sp.build_block_params(dp)
+    words = np.array([prmf[0, sp.patch_word_lane(k)]
+                      for k in range(sp._N_PATCH)])
+    assert int((words != 0).sum()) == 2, \
+        "expected one patch word per LUT half for |T|=405"
+
+    def run(prmf_):
+        packed = np.asarray(sp.synth_blocks_pallas(
+            (prmi, prmf_), sp.pack_ca_tables([dp.ca2]),
+            np.zeros(1, np.int32), N, interpret=True))[:, :N]
+        return np.stack(
+            [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+             (packed >> 16).astype(np.int16)], axis=-1)
+
+    got = run(prmf)
+    assert np.array_equal(got, golden), (
+        f"{int((got != golden).sum())} components diverge with patches on")
+
+    # discrimination: with the patch lanes zeroed the boundary gain MUST
+    # reproduce the 1-LSB divergence, or this test is exercising nothing
+    prmf_no = prmf.copy()
+    for k in range(sp._N_PATCH):
+        prmf_no[:, sp.patch_word_lane(k)] = 0.0
+    got_no = run(prmf_no)
+    bad = int((got_no != golden).sum())
+    assert bad > 0, "unpatched kernel unexpectedly exact (dead test)"
+    assert int(np.abs(got_no.astype(np.int64)
+                      - golden.astype(np.int64)).max()) == 1
+
+
+def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
+    """A gain within ~2^-25 of a small rational (here ~17/31) flips many
+    LUT magnitudes at once — more than the per-block patch slots.
+    The builder must NOT fail: it patches what fits, counts the rest in
+    PATCH_DROPPED, and the unpatched entries stay within the kernel's
+    +-1 LSB f32-trunc behavior."""
+    from pluto_gps_sim_tpu.constants import MAX_CHAN
+    from pluto_gps_sim_tpu.models.cacode import CA_TABLE
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        pack_plan, synth_superframe_precise)
+    from pluto_gps_sim_tpu.runtime.scheduler import SuperframePlan
+
+    g_rational = 0.5483870934593348   # ~17/31 - 3e-9: 16 patch words
+    t64 = np.trunc(sp._MAGS64 * g_rational)
+    t32 = np.trunc(sp._MAGS64.astype(np.float32) * np.float32(g_rational))
+    n_flip = int((t64 != t32.astype(np.float64)).sum())
+    assert n_flip >= 8, "gain no longer overflows the patch slots"
+
+    fs = 2_600_000.0
+    N = 65536
+    C = MAX_CHAN
+    rng = np.random.RandomState(5)
+    active = np.zeros((1, C), bool)
+    active[0, :2] = True
+    f_carr = np.zeros((1, C))
+    f_carr[0, :2] = [-2717.3, 395.9]
+    f_code = 1_023_000.0 + f_carr / 1540.0
+    gain = np.where(active, 0.5, 0.0)
+    gain[0, 0] = g_rational
+    plan = SuperframePlan(
+        n_blocks=1, block_samples=N, delt=1.0 / fs,
+        prn=np.where(active[0], np.arange(1, C + 1), 0).astype(np.int32),
+        ca2=(CA_TABLE[np.arange(C)] * 2 - 1).astype(np.int8),
+        bits=rng.choice([-1, 1], (C, 1800)).astype(np.int8),
+        active=active, f_carr=f_carr, f_code=f_code,
+        code_phase=rng.uniform(0, 1023, (1, C)),
+        icode=rng.randint(0, 20, (1, C)).astype(np.int32),
+        ibit=rng.randint(0, 30, (1, C)).astype(np.int32),
+        iword=rng.randint(0, 10, (1, C)).astype(np.int32),
+        carr_phase=rng.uniform(0, 1, (1, C)),
+        gain=gain, azel=np.zeros((1, C, 2)))
+    dp = pack_plan(plan)
+    before = sp.PATCH_DROPPED
+    prmi, prmf = sp.build_block_params(dp)
+    assert sp.PATCH_DROPPED - before == n_flip * 2 - sp._N_PATCH
+    words = np.array([prmf[0, sp.patch_word_lane(k)]
+                      for k in range(sp._N_PATCH)])
+    assert int((words != 0).sum()) == sp._N_PATCH, "slots not saturated"
+
+    golden = synth_superframe_precise(dp)
+    packed = np.asarray(sp.synth_blocks_pallas(
+        (prmi, prmf), sp.pack_ca_tables([dp.ca2]),
+        np.zeros(1, np.int32), N, interpret=True))[:, :N]
+    got = np.stack([(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (packed >> 16).astype(np.int16)], axis=-1)
+    err = np.abs(got.astype(np.int64) - golden.astype(np.int64))
+    assert int(err.max()) <= 1, "overflow degradation exceeded 1 LSB"

@@ -50,15 +50,17 @@ def _scenario(fixture_paths, fs):
 
 
 def _assert_tracks_precise(got, golden, what):
-    """Bit-exact except the kernel's u32-carrier LUT quantization: a few
-    adjacent-entry picks (few-LSB errors) allowed, any full-amplitude
-    (chip/nav-bit) error fails."""
+    """Bit-exact up to the kernel's documented 1e-11-class floors (u32
+    phase-quantization straddles, Q36 chip edges): the bound allows ~4
+    components per 2M, far below any real regression (a gain-trunc or
+    carrier-level regression reads 1e-4..1e-3 here), and measured runs
+    report 100.000000% / max err 0."""
     exact = float(np.mean(got == golden))
     max_err = int(np.abs(got.astype(np.int64)
                          - golden.astype(np.int64)).max())
     print(f"{what}: bit-exact {exact:.6%}, max component err {max_err}")
-    assert exact >= 0.9999, f"{what}: bit-exact {exact:.6%}"
-    assert max_err <= 16, f"{what}: max err {max_err} (chip/nav flip?)"
+    assert exact >= 1.0 - 2e-6, f"{what}: bit-exact {exact:.6%}"
+    assert max_err <= 8, f"{what}: max err {max_err} (chip/nav flip?)"
 
 
 def test_compiled_pallas_vs_precise(fixture_paths):
@@ -165,10 +167,10 @@ def test_compiled_long_run_rollover(fixture_paths):
     exact = 1.0 - bad / total
     print(f"compiled long run: {done} blocks, bit-exact {exact:.6%}, "
           f"max component err {max_err}")
-    # rate bound 1e-3 (not 1e-4): the kernel's f32 trunc(T*gain) vs the
-    # tiled path's f64-trunc LUTs differ by exactly 1 LSB on entries
-    # whose product lands within f32 rounding of an integer, and
-    # slow-Doppler channels dwell on single LUT entries for thousands
-    # of samples (bench.py gate comment; 99.7% of mismatches are 1 LSB).
-    # Full-amplitude chip/nav flips still fail max_err <= 16.
-    assert exact >= 0.999 and max_err <= 16
+    # After the round-3 gain-trunc patches and the Q24 carrier level,
+    # the compiled kernel matches the tiled path to the NCOs' shared
+    # quantization floor: expected disagreements ~0.03 components per
+    # 990 blocks (u32 phase straddles at 2^-24, Q36 chip edges).  The
+    # bound allows ~5 of 515M — the pre-fix mechanisms read 124 (carrier
+    # Q12) and ~48k (gain trunc) here and must fail loudly.
+    assert exact >= 1.0 - 1e-8 and max_err <= 8
