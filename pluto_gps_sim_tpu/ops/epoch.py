@@ -166,6 +166,10 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
     params = {k: np.asarray(v) for k, v in params.items()}
     params["active"] = np.broadcast_to(active, params["f_carr"].shape).copy()
     params["azel"] = azel[1:]  # per-block az/el (epoch k+1), for logging
+    # anchor-epoch pseudoranges (override applied): the scheduler's
+    # closed-form carrier phase c0[k] = frac(cb - (rng0[k] - ra)/lambda)
+    # telescopes the f_carr chain exactly (scheduler.py plan())
+    params["rng0"] = rng[:-1].copy()
 
     carry = {
         "rho0_range": rng[-1],     # anchor for the next superframe's t_0

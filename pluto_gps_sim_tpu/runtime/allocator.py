@@ -46,6 +46,20 @@ class ChannelState:
         default_factory=lambda: np.zeros(MAX_CHAN, dtype=np.float64))
     rho0_range: np.ndarray = field(
         default_factory=lambda: np.zeros(MAX_CHAN, dtype=np.float64))
+    # carrier-phase anchor pair: carr_phase is the phase AT the anchor
+    # epoch and rho_anchor the pseudorange there; both re-based at every
+    # 30 s boundary (scheduler._boundary_update).  Between anchors the
+    # per-block phase is CLOSED FORM: the reference's per-sample
+    # accumulation (c:2741-2746) telescopes to
+    #   phase(t) = frac(carr_phase - (rho(t) - rho_anchor)/lambda)
+    # because f_carr is defined from consecutive pseudoranges (c:1760,
+    # 1763).  GPS pseudoranges stay within a 1.4x ratio, so the
+    # subtraction is Sterbenz-exact; re-basing every 30 s keeps the
+    # division+frac rounding ~3e-11 cycles, 10x below the kernel's u32
+    # phase quantum.  This removes the last per-block chain from the
+    # control plane (fast_forward becomes O(boundaries), not O(blocks)).
+    rho_anchor: np.ndarray = field(
+        default_factory=lambda: np.zeros(MAX_CHAN, dtype=np.float64))
     azel: np.ndarray = field(
         default_factory=lambda: np.zeros((MAX_CHAN, 2), dtype=np.float64))
     iono_delay: np.ndarray = field(
@@ -136,6 +150,7 @@ def _init_channel(state: ChannelState, i: int, sv: int, eph: Ephemerides,
 
     r_xyz = float(rho["range"][sv])
     state.rho0_range[i] = r_xyz
+    state.rho_anchor[i] = r_xyz
     state.iono_delay[i] = float(rho["iono_delay"][sv])
     state.d0[i] = float(rho["d"][sv])
 

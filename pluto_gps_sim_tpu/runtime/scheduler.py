@@ -11,9 +11,13 @@ control at the boundaries in exactly the reference's order —
     3. channel re-allocation                           (c:2792-2797)
 
 — and emits a SuperframePlan whose arrays fully determine the device
-synthesis (closed-form phase ramps).  Carrier phase is the only state
-chained across blocks: c0[k+1] = frac(c0[k] + f_carr*delt*N) (the
-per-sample NCO accumulation in c:2741-2746 telescopes to this).
+synthesis (closed-form phase ramps).  Nothing is chained across blocks
+anymore: the reference's per-sample carrier NCO (c:2741-2746)
+telescopes over its per-epoch f_carr definition (c:1760,1763) to
+phase(t) = frac(cb - (rng(t) - rho_anchor)/lambda) against a per-30 s
+boundary anchor pair (see ChannelState.rho_anchor), so every per-block
+quantity is a pure function of absolute time — which is what makes
+skip()/fast_forward O(boundaries) and host partitioning cheap.
 
 Motion indexing preserves the reference's off-by-one: the epoch at
 scenario block k (k >= 1) uses motion sample (k-1) mod numd (iumd is
@@ -27,7 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import MAX_CHAN, N_DWRD
+from ..constants import LAMBDA_L1, MAX_CHAN, N_DWRD
 from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE
@@ -84,6 +88,14 @@ class Scheduler:
         self.fs = float(fs)
         self.delt = 1.0 / float(fs)
         self.block_samples = int(block_samples or round(fs / 10))
+        # per-block carrier advance is f_carr * (block_samples*delt): in
+        # ref-compat mode (block_samples=300000 at fs != 3 MHz, the
+        # reference's compile-time NUM_SAMPLES quirk, c:44/2800) a block
+        # spans less signal time than the 0.1 s epoch grid, so the
+        # telescoped closed-form phase scales the range delta by
+        #   ratio = (block_samples*delt) / dt_epoch
+        # (= 1.0 up to fp rounding in the corrected default sizing)
+        self.phase_ratio = (self.block_samples * self.delt) / _BLOCK_DT
         self.nav_cache = nav_cache  # models.lnav.NavCache, shared in MC
 
         self.g_start = start
@@ -167,17 +179,20 @@ class Scheduler:
             eph, self.ionoutc, g_secs, g_weeks, rx, st.sv_idx, active,
             g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT, rho=rho)
 
-        # carrier-phase chain across blocks (f64, per-block wrap like the
-        # reference's per-sample wrap — equivalent to fp noise)
-        c0 = np.zeros((M, MAX_CHAN), dtype=np.float64)
-        c = st.carr_phase.copy()
-        adv = params["f_carr"] * self.delt  # fl(f_carr*delt), per block
-        for k in range(M):
-            c0[k] = c
-            step = adv[k] * self.block_samples
-            c = c + np.where(active, step, 0.0)
-            c -= np.floor(c)
-        st.carr_phase = np.where(active, c, st.carr_phase)
+        # closed-form carrier phase: the reference's per-sample NCO
+        # accumulation (c:2741-2746) telescopes over its per-epoch
+        # f_carr = -(rho1-rho0)/dt/lambda (c:1760,1763) to
+        #   phase(t_k) = frac(cb - (rng(t_k) - rho_anchor)/lambda),
+        # with (cb, rho_anchor) the channel's 30 s-boundary anchor pair
+        # (see ChannelState.rho_anchor).  Pseudoranges stay within a
+        # 1.4x ratio so the subtraction is Sterbenz-exact; one frac per
+        # block replaces the sequential per-block chain this scheduler
+        # used to carry — every block's phase is now a pure function of
+        # absolute time, which is what makes fast_forward O(boundaries).
+        dr = params["rng0"] - st.rho_anchor[None, :]
+        c0 = st.carr_phase[None, :] - dr * self.phase_ratio / LAMBDA_L1
+        c0 -= np.floor(c0)
+        c0 = np.where(params["active"] & active[None, :], c0, 0.0)
         st.rho0_range = np.where(active, carry["rho0_range"], st.rho0_range)
         st.azel = np.where(active[:, None], carry["azel_last"], st.azel)
 
@@ -262,6 +277,40 @@ class Scheduler:
             i = j + 1
         return plans
 
+    def skip(self, n_blocks: int) -> None:
+        """Advance n_blocks without planning — O(boundaries) host work.
+
+        Because every per-block quantity is closed-form in absolute time
+        (see module docstring), skipping only has to maintain the
+        boundary-anchored state: per-channel range/azel anchors at each
+        stop epoch (one single-epoch solve) and the 30 s boundary
+        updates (nav refresh, rollover, re-allocation).  Downstream
+        plans are bit-identical to a plan() loop over the same span
+        (test_host_partition_concatenates_identically) — this is the
+        host-partition entry point that replaces the reference's
+        strictly sequential loop (plutogpssim.c:2655-2806) at host
+        scale."""
+        left = int(n_blocks)
+        while left > 0:
+            M = min(self._blocks_to_boundary(), left)
+            self.jblk += M
+            left -= M
+            t_end = self._epoch_time(self.jblk)
+            # anchor the stop epoch with the CURRENT eph set (at a
+            # rollover the pre-rollover set computes the boundary range,
+            # exactly like plan()'s carry — c:2774-2790 semantics)
+            g_secs, _, rx = self._grid_arrays(np.array([self.jblk]))
+            rho = solve_ranges(self.rin.eph[self.ieph], self.ionoutc,
+                               g_secs, rx)
+            st = self.state
+            act = st.active
+            rng = np.asarray(rho["range"])[0, st.sv_idx]
+            azel = np.asarray(rho["azel"])[0, st.sv_idx, :]
+            st.rho0_range = np.where(act, rng, st.rho0_range)
+            st.azel = np.where(act[:, None], azel, st.azel)
+            if int(round(t_end.sec * 10.0)) % 300 == 0:
+                self._boundary_update(t_end)
+
     def _bits_table(self) -> np.ndarray:
         """dwrd[60] words -> per-channel +-1 bit table [C, 1800]."""
         st = self.state
@@ -274,6 +323,18 @@ class Scheduler:
                          alloc_precomp: dict | None = None) -> None:
         st = self.state
         cache = self.nav_cache
+        # 0. re-base the carrier anchor pair to this boundary: the phase
+        #    at grx is closed-form from the previous anchor, and
+        #    st.rho0_range already holds rng(grx) (updated by plan()/
+        #    skip() just before this call, with the PRE-rollover eph set
+        #    — matching the next superframe's rng[0] override).  Must
+        #    run before re-allocation, which overwrites freed slots.
+        act = st.prn > 0
+        cb = st.carr_phase - \
+            (st.rho0_range - st.rho_anchor) * self.phase_ratio / LAMBDA_L1
+        cb -= np.floor(cb)
+        st.carr_phase = np.where(act, cb, st.carr_phase)
+        st.rho_anchor = np.where(act, st.rho0_range, st.rho_anchor)
         # 1. nav message refresh (shift SF5, new frame) for active channels
         for c in range(MAX_CHAN):
             if st.prn[c] > 0:

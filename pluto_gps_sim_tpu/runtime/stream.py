@@ -170,17 +170,12 @@ class IqStream:
 
     def fast_forward(self, n_blocks: int) -> None:
         """Advance the scheduler n_blocks without synthesizing — the
-        host-partition entry point: the control plane is deterministic
-        and cheap (~12 ms per simulated 30 s), so host h of N reaches
-        its partition start by replaying blocks [0, lo) host-side only.
-        Replaces the reference's strictly sequential loop
-        (plutogpssim.c:2655-2806) at host scale."""
-        left = int(n_blocks)
-        while left > 0:
-            plans = self.sched.plan_group(32, total_blocks=left)
-            if not plans:
-                break
-            left -= sum(p.n_blocks for p in plans)
+        host-partition entry point.  O(boundaries), not O(blocks): the
+        closed-form carrier anchors (scheduler module docstring) mean
+        host h of N reaches its partition start by maintaining only the
+        per-30 s boundary state (~2 ms per simulated 30 s), so the
+        control-plane replay cost of deep partitions is negligible."""
+        self.sched.skip(n_blocks)
 
     # -- dispatch / fetch ------------------------------------------------
 

@@ -308,6 +308,47 @@ def test_batched_dispatch_pallas_interpret(rinex):
     assert np.array_equal(np.concatenate(parts, axis=0), a)
 
 
+def test_skip_matches_plan_loop_across_rollover(rinex):
+    """Scheduler.skip (the O(boundaries) fast-forward behind host
+    partitioning) must leave the scheduler in a state whose NEXT plans
+    are bit-identical to a plan() loop over the skipped span —
+    including across an ephemeris rollover boundary, where the range anchor must
+    be priced with the pre-rollover set (c:2774-2790)."""
+    import dataclasses
+
+    toc0 = GpsTime(int(rinex.eph[0].toc_week[0]),
+                   float(rinex.eph[0].toc_sec[0]))
+    g0 = setup_scenario(rinex, inc_gps_time(toc0, 3570.0))
+    ieph = select_ephemeris_set(rinex, g0)
+
+    sa = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    sb = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    for _ in range(3):
+        sa.plan(300)           # crosses the rollover at +60 s
+    sb.skip(900)
+    assert sa.ieph == sb.ieph and sa.ieph != ieph  # rollover happened
+    for _ in range(2):         # two more superframes stay locked
+        pa, pb = sa.plan(300), sb.plan(300)
+        for f in dataclasses.fields(pa):
+            a, b = getattr(pa, f.name), getattr(pb, f.name)
+            if isinstance(a, np.ndarray):
+                assert np.array_equal(a, b), f.name
+            else:
+                assert a == b, f.name
+
+    # mid-superframe skip target (partition start not on a boundary)
+    sc = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    sd = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+    sc.plan(300); sc.plan(140)
+    sd.skip(440)
+    pc, pd = sc.plan(300), sd.plan(300)
+    assert pc.n_blocks == pd.n_blocks == 160
+    for f in dataclasses.fields(pc):
+        a, b = getattr(pc, f.name), getattr(pd, f.name)
+        if isinstance(a, np.ndarray):
+            assert np.array_equal(a, b), f.name
+
+
 def test_host_partition_concatenates_identically(rinex):
     """IqStream(n_hosts=N, host_id=h): each host fast-forwards the
     deterministic control plane to its contiguous share; the N partial
