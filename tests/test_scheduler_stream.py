@@ -348,6 +348,20 @@ def test_skip_matches_plan_loop_across_rollover(rinex):
         if isinstance(a, np.ndarray):
             assert np.array_equal(a, b), f.name
 
+    # ref-compat block sizing (NUM_SAMPLES quirk): phase_ratio != 1, so
+    # skip's anchor re-base must scale the range delta like plan() does
+    se = Scheduler(rinex, g0, ieph, _xyz(), fs=5_000_000.0,
+                   block_samples=300_000)
+    sf = Scheduler(rinex, g0, ieph, _xyz(), fs=5_000_000.0,
+                   block_samples=300_000)
+    assert abs(se.phase_ratio - 0.6) < 1e-12
+    for _ in range(2):
+        se.plan(300)
+    sf.skip(600)
+    pe, pf = se.plan(300), sf.plan(300)
+    assert np.array_equal(pe.carr_phase, pf.carr_phase)
+    assert np.array_equal(pe.f_carr, pf.f_carr)
+
 
 def test_host_partition_concatenates_identically(rinex):
     """IqStream(n_hosts=N, host_id=h): each host fast-forwards the
