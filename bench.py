@@ -46,14 +46,70 @@ fetch per chain.
 """
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _probe_tpu(attempts: int = 3, probe_timeout: float = 150.0) -> bool:
+    """Check device availability in a SUBPROCESS before touching jax here.
+
+    The axon tunnel's chip is single-tenant: if another process holds it,
+    jax.devices() blocks indefinitely (observed: >100 s with no progress)
+    and SIGTERM doesn't interrupt a blocked dispatch.  Probing in a child
+    with a timeout keeps this process killable and lets us emit a
+    diagnostic JSON line instead of hanging the driver forever."""
+    code = ("import jax; d = jax.devices(); "
+            "import jax.numpy as jnp; "
+            "jnp.ones((8, 8)).sum().block_until_ready(); print('ok')")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return True
+            print(f"WARNING: device probe attempt {i + 1} exited "
+                  f"{r.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"WARNING: device probe attempt {i + 1} timed out "
+                  f"({probe_timeout:.0f}s) — TPU busy or tunnel wedged",
+                  file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(30.0)  # another tenant may be finishing
+    return False
+
+
+def _arm_deadline(seconds: float) -> None:
+    """Hard wall-clock ceiling on the whole bench: if anything wedges
+    mid-run (tunnel stall during a dispatch), print a failure line the
+    driver can record and exit instead of hanging past the round end."""
+    def _fire():
+        print(json.dumps({
+            "metric": "iq_synthesis_throughput_12ch_2p6MHz",
+            "value": None, "unit": "Msamples/s/chip", "vs_baseline": None,
+            "error": f"bench exceeded {seconds:.0f}s deadline "
+                     "(TPU tunnel stalled mid-run)"}), flush=True)
+        os._exit(2)
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     sys.path.insert(0, "tests")
+    if not _probe_tpu():
+        print(json.dumps({
+            "metric": "iq_synthesis_throughput_12ch_2p6MHz",
+            "value": None, "unit": "Msamples/s/chip", "vs_baseline": None,
+            "error": "TPU unreachable: jax.devices() blocked in 3 probe "
+                     "attempts (single-tenant chip held by another "
+                     "process or tunnel wedged)"}), flush=True)
+        sys.exit(2)
+    _arm_deadline(float(os.environ.get("BENCH_DEADLINE_S", "2700")))
     import jax
 
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
