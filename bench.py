@@ -155,8 +155,7 @@ def main() -> None:
         out_v = np.asarray(sp.synth_blocks_pallas(
             prm_v, ca_v, np.zeros(dp_v.n_blocks, np.int32),
             dp_v.block_samples, device=tpu))[:, :dp_v.block_samples]
-    got = np.stack([(out_v & 0xFFFF).astype(np.uint16).view(np.int16),
-                    (out_v >> 16).astype(np.int16)], axis=-1)
+    got = sp.unpack_iq(out_v)
     exact = float(np.mean(got == golden))
     max_err = int(np.abs(got.astype(np.int64)
                          - golden.astype(np.int64)).max())
@@ -351,9 +350,15 @@ def main() -> None:
     # blowing the bench's time budget on a slow tunnel.
     from pluto_gps_sim_tpu.runtime.stream import IqStream
 
-    def e2e_delivered_once(n_blocks):
+    def e2e_delivered_once(n_blocks, skip_sf=0):
+        """skip_sf offsets the scenario start by whole superframes so
+        repeated timings never replay a byte-identical call sequence
+        (the tunnel may cache identical calls — see the kernel-slope
+        section's argset rotation)."""
         stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
                           device=tpu)
+        if skip_sf:
+            stream.fast_forward(300 * skip_sf)
         t0 = time.time()
         done = 0
         for sf in stream.superframes(n_blocks):
@@ -364,7 +369,7 @@ def main() -> None:
         return n_blocks * block_samples / dt
 
     e2e_del = _metric(lambda: (e2e_delivered_once(300),   # compile-warm
-                               e2e_delivered_once(600))[1])
+                               e2e_delivered_once(600, skip_sf=1))[1])
 
     # ---- production pipelined e2e (IqStream, device-side consumer) --------
     # The real runtime path: superframes() plans and dispatches group k+1
@@ -374,9 +379,11 @@ def main() -> None:
     # built for), so per-dispatch flat latency amortizes; the consumer
     # reduces on device (as_device=True) and fetches the 8 B sums once
     # at the end — a device-resident downstream stage's behavior.
-    def e2e_pipelined(n_blocks, k_sf=4):
+    def e2e_pipelined(n_blocks, k_sf=4, skip_sf=0):
         stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
                           device=tpu, superframes_per_dispatch=k_sf)
+        if skip_sf:
+            stream.fast_forward(300 * skip_sf)   # distinct content per rep
         t0 = time.time()
         done = 0
         sums = []
@@ -390,7 +397,11 @@ def main() -> None:
 
     def _pipe():
         e2e_pipelined(2400)                 # warm the group shapes
-        return float(np.median([e2e_pipelined(6000) for _ in range(3)]))
+        # each rep starts a different number of superframes into the
+        # scenario: same shapes (compile cache hits), different bytes
+        # (no tunnel-level call caching can inflate the timing)
+        return float(np.median(
+            [e2e_pipelined(6000, skip_sf=1 + r) for r in range(3)]))
 
     e2e_pipe = _metric(_pipe)
 
@@ -400,7 +411,7 @@ def main() -> None:
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rt_multiple, 1),
         "verify": (f"pallas tracks precise: {exact * 100:.4f}% exact, "
-                   f"max err {max_err}<=16"),
+                   f"max err {max_err}<=8"),
         "e2e_device_x": round(e2e_dev / fs, 1) if e2e_dev else None,
         "e2e_sustained_x": (round(e2e_sustained / fs, 1)
                             if e2e_sustained else None),

@@ -88,7 +88,7 @@ from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
-           "choose_tile", "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
+           "unpack_iq", "choose_tile", "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
 
 # Q24 code-NCO range bound: the per-sample integer residual ramp r24*n
 # (r24 <= 4095) must stay inside int32, so blocks are capped at 524k
@@ -220,94 +220,93 @@ def _kernel(sf_map_ref, prmi_ref, prmf_ref, ca2_ref, rawtab_ref,
         # ca_row is the channel's bit-packed C/A row, [_LANES] int32.
         # Returns (tc, ts, m, u): the signed LUT pair, the spreading
         # mask, and the biased packed gain-scaled sample.
-        if True:
-          # carrier NCO: floor u32 anchor + two-level step residual
-          # seeded with the anchor's sub-unit Q12 digit (arithmetic
-          # >> 12 keeps floor semantics for negative sr12 — the integer
-          # phase floors the f64 phase to the f32 trunc level, 2^-12)
-          sr12 = getf(_F_SR12, c).astype(jnp.int32)
-          cq12c = getf(_F_CQ12, c).astype(jnp.int32)
-          resc = (sr12 * n + cq12c
-                  + (getf(_F_SREM, c) * nf).astype(jnp.int32)) >> 12
-          phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
-          # logical shift of the u32 phase leaves exactly 9 index bits
-          itab = jax.lax.shift_right_logical(phase, jnp.int32(23))
-          ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
-          ilo = itab & jnp.int32(127)
+        # carrier NCO: floor u32 anchor + two-level step residual
+        # seeded with the anchor's sub-unit Q12 digit (arithmetic
+        # >> 12 keeps floor semantics for negative sr12 — the integer
+        # phase floors the f64 phase to the f32 trunc level, 2^-12)
+        sr12 = getf(_F_SR12, c).astype(jnp.int32)
+        cq12c = getf(_F_CQ12, c).astype(jnp.int32)
+        resc = (sr12 * n + cq12c
+                + (getf(_F_SREM, c) * nf).astype(jnp.int32)) >> 12
+        phase = geti(_P_PHASE0, c) + geti(_P_STEP, c) * n + resc
+        # logical shift of the u32 phase leaves exactly 9 index bits
+        itab = jax.lax.shift_right_logical(phase, jnp.int32(23))
+        ihi = jax.lax.shift_right_logical(itab, jnp.int32(7))   # 0..3
+        ilo = itab & jnp.int32(127)
 
-          # code NCO: Q12 + Q24 + Q36 integer ramps + f32 fourth-level
-          # residual.  Three levels are NOT enough: the Q24 truncation
-          # quantizes the chip position to 2^-24 chips = 6e-8, which
-          # lands a chip transition on the wrong sample ~0.03 times per
-          # 300k-sample block (a full-amplitude error, ~55 dB for the
-          # block); the Q36 level pushes truncation to 1.5e-11 chips,
-          # at the f64 closed form's own rounding floor.
-          rq36 = geti(_P_RES0Q36, c) + geti(_P_R36, c) * n \
-              + (getf(_F_RRR, c) * nf).astype(jnp.int32)
-          rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
-              + jax.lax.shift_right_logical(rq36, jnp.int32(12))
-          tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
-              + jax.lax.shift_right_logical(rq24, jnp.int32(12))
-          chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
-          # chip // 1023 via exact f32 reciprocal (chip < 600k, verified
-          # exhaustively; XLA's int32 // lowers to a much longer
-          # multiply-high sequence, ~14% of total kernel time)
-          w = (chip.astype(jnp.float32) * _INV1023).astype(jnp.int32)
-          cidx = chip - w * jnp.int32(CA_SEQ_LEN)
+        # code NCO: Q12 + Q24 + Q36 integer ramps + f32 fourth-level
+        # residual.  Three levels are NOT enough: the Q24 truncation
+        # quantizes the chip position to 2^-24 chips = 6e-8, which
+        # lands a chip transition on the wrong sample ~0.03 times per
+        # 300k-sample block (a full-amplitude error, ~55 dB for the
+        # block); the Q36 level pushes truncation to 1.5e-11 chips,
+        # at the f64 closed form's own rounding floor.
+        rq36 = geti(_P_RES0Q36, c) + geti(_P_R36, c) * n \
+            + (getf(_F_RRR, c) * nf).astype(jnp.int32)
+        rq24 = geti(_P_RES0Q24, c) + geti(_P_R24, c) * n \
+            + jax.lax.shift_right_logical(rq36, jnp.int32(12))
+        tq = geti(_P_CP0Q, c) + geti(_P_VQ, c) * n \
+            + jax.lax.shift_right_logical(rq24, jnp.int32(12))
+        chip = jax.lax.shift_right_logical(tq, jnp.int32(12))
+        # chip // 1023 via exact f32 reciprocal (chip < 600k, verified
+        # exhaustively; XLA's int32 // lowers to a much longer
+        # multiply-high sequence, ~14% of total kernel time)
+        w = (chip.astype(jnp.float32) * _INV1023).astype(jnp.int32)
+        cidx = chip - w * jnp.int32(CA_SEQ_LEN)
 
-          # nav bit from per-block mask (0/1); // 20 via magic multiply
-          # (exact for u < 4096; worst case q = (19 + 563)//20 = 29 under
-          # the block-length cap — still < 32, so no & 31 needed; the
-          # pack-time assert in build_block_params enforces this)
-          q = jax.lax.shift_right_logical(
-              (geti(_P_IC0, c) + w) * jnp.int32(3277), jnp.int32(16))
-          mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
-          nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
+        # nav bit from per-block mask (0/1); // 20 via magic multiply
+        # (exact for u < 4096; worst case q = (19 + 563)//20 = 29 under
+        # the block-length cap — still < 32, so no & 31 needed; the
+        # pack-time assert in build_block_params enforces this)
+        q = jax.lax.shift_right_logical(
+            (geti(_P_IC0, c) + w) * jnp.int32(3277), jnp.int32(16))
+        mask = jnp.broadcast_to(geti(_P_NBM, c), q.shape)
+        nbit = jax.lax.shift_right_logical(mask, q) & jnp.int32(1)
 
-          # C/A chip sign: bit-packed word gather + variable shift
-          wrow = jnp.broadcast_to(ca_row, (SUB, _LANES))
-          word = jnp.take_along_axis(
-              wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
-          cbit = jax.lax.shift_right_logical(
-              word, cidx & jnp.int32(31)) & jnp.int32(1)
+        # C/A chip sign: bit-packed word gather + variable shift
+        wrow = jnp.broadcast_to(ca_row, (SUB, _LANES))
+        word = jnp.take_along_axis(
+            wrow, jax.lax.shift_right_logical(cidx, jnp.int32(5)), axis=1)
+        cbit = jax.lax.shift_right_logical(
+            word, cidx & jnp.int32(31)) & jnp.int32(1)
 
-          # one gather from the 128-entry RAW quadrant-0 pair table;
-          # quadrants 1-3 derive with exact identities: q1 = swap halves
-          # + complement low, q2 = complement both, q3 = swap halves +
-          # complement high (complements are around 1026 = 2 + 2*512,
-          # the half-wave offset plus twice the pair bias)
-          rawrow = jnp.broadcast_to(rawtab_ref[0, :], (SUB, _LANES))
-          praw = jnp.take_along_axis(rawrow, ilo, axis=1)
-          # quadrants factor: q2 = C - q0 and q3 = C - q1 (C = 1026 per
-          # half), so select q0/q1 by bit7 first, then complement both
-          # halves by bit8 uniformly
-          rot = jax.lax.shift_left(praw, jnp.int32(16)) | \
-              jax.lax.shift_right_logical(praw, jnp.int32(16))
-          rotL = rot + (jnp.int32(1026) -
-              jax.lax.shift_left(rot & jnp.int32(0xFFFF), jnp.int32(1)))
-          m7 = -(ihi & jnp.int32(1))
-          m8 = -jax.lax.shift_right_logical(itab, jnp.int32(8))
-          x = praw + ((rotL - praw) & m7)
-          p = x + ((jnp.int32(1026 | (1026 << 16)) -
-                    jax.lax.shift_left(x, jnp.int32(1))) & m8)
-          # the reference's hand-written tables break the identities at
-          # exactly one entry: cos[384] = 0, not 2 - cos[128] = 1
-          p = p - (itab == jnp.int32(384)).astype(jnp.int32)
+        # one gather from the 128-entry RAW quadrant-0 pair table;
+        # quadrants 1-3 derive with exact identities: q1 = swap halves
+        # + complement low, q2 = complement both, q3 = swap halves +
+        # complement high (complements are around 1026 = 2 + 2*512,
+        # the half-wave offset plus twice the pair bias)
+        rawrow = jnp.broadcast_to(rawtab_ref[0, :], (SUB, _LANES))
+        praw = jnp.take_along_axis(rawrow, ilo, axis=1)
+        # quadrants factor: q2 = C - q0 and q3 = C - q1 (C = 1026 per
+        # half), so select q0/q1 by bit7 first, then complement both
+        # halves by bit8 uniformly
+        rot = jax.lax.shift_left(praw, jnp.int32(16)) | \
+            jax.lax.shift_right_logical(praw, jnp.int32(16))
+        rotL = rot + (jnp.int32(1026) -
+            jax.lax.shift_left(rot & jnp.int32(0xFFFF), jnp.int32(1)))
+        m7 = -(ihi & jnp.int32(1))
+        m8 = -jax.lax.shift_right_logical(itab, jnp.int32(8))
+        x = praw + ((rotL - praw) & m7)
+        p = x + ((jnp.int32(1026 | (1026 << 16)) -
+                  jax.lax.shift_left(x, jnp.int32(1))) & m8)
+        # the reference's hand-written tables break the identities at
+        # exactly one entry: cos[384] = 0, not 2 - cos[128] = 1
+        p = p - (itab == jnp.int32(384)).astype(jnp.int32)
 
-          # per-sample gain scaling, identical expression to the old
-          # per-block scratch build: trunc(f32(T) * f32(gain))
-          g = getf(_F_GAIN, c)
-          tc = (p & jnp.int32(0xFFFF)) - jnp.int32(512)
-          ts = jax.lax.shift_right_logical(p, jnp.int32(16)) - jnp.int32(512)
-          iv = (tc.astype(jnp.float32) * g).astype(jnp.int32)
-          qv = (ts.astype(jnp.float32) * g).astype(jnp.int32)
-          u = (iv + jnp.int32(1024)) | \
-              jax.lax.shift_left(qv + jnp.int32(1024), jnp.int32(16))
+        # per-sample gain scaling, identical expression to the old
+        # per-block scratch build: trunc(f32(T) * f32(gain))
+        g = getf(_F_GAIN, c)
+        tc = (p & jnp.int32(0xFFFF)) - jnp.int32(512)
+        ts = jax.lax.shift_right_logical(p, jnp.int32(16)) - jnp.int32(512)
+        iv = (tc.astype(jnp.float32) * g).astype(jnp.int32)
+        qv = (ts.astype(jnp.float32) * g).astype(jnp.int32)
+        u = (iv + jnp.int32(1024)) | \
+            jax.lax.shift_left(qv + jnp.int32(1024), jnp.int32(16))
 
-          # spreading sign (chip XOR nav): mask of all-ones where the
-          # sample negates
-          m = -(cbit ^ nbit)
-          return tc, ts, m, u
+        # spreading sign (chip XOR nav): mask of all-ones where the
+        # sample negates
+        m = -(cbit ^ nbit)
+        return tc, ts, m, u
 
     for c in range(_C):
       # inactive channels are zero-gain; skip their work entirely
@@ -615,6 +614,20 @@ def build_block_params(dp):
             prmf[m, _LANES + _SLOT_F_W * k + j] = prmf[m, base + c]
         prmf[m, _LANES + _SLOT_F_W * k + _SLOT_WORD] = patch[m, k]
     return prmi, prmf
+
+
+def unpack_iq(packed, block_samples: int | None = None) -> np.ndarray:
+    """Packed int32 IQ [..., S] -> interleaved int16 [..., S', 2].
+
+    The kernel packs (I & 0xffff) | (Q << 16) per sample (see module
+    docstring); this is the one inverse every consumer shares.
+    block_samples trims each row's tile padding first."""
+    packed = np.asarray(packed)
+    if block_samples is not None:
+        packed = packed[..., :block_samples]
+    return np.stack(
+        [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+         (packed >> 16).astype(np.int16)], axis=-1)
 
 
 def pack_ca_tables(ca2_list: list[np.ndarray]) -> np.ndarray:

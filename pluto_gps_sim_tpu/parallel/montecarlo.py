@@ -169,8 +169,11 @@ class MonteCarloBatch:
 
         chunk_blocks also bounds the blocks per kernel launch so the
         packed output stays inside HBM at large B (each block's output
-        is ~4*padded_samples bytes).  Default: whole batch in one
-        launch (mesh runs always launch whole — shard_map owns the
+        is ~4*padded_samples bytes).  NOTE: the one-deep pipeline keeps
+        up to TWO chunks' outputs live on device at once (chunk k's
+        buffer is still draining while k+1 synthesizes) — size
+        chunk_blocks so two chunks fit HBM.  Default: whole batch in
+        one launch (mesh runs always launch whole — shard_map owns the
         partition)."""
         import jax
 
@@ -186,10 +189,7 @@ class MonteCarloBatch:
         def finish(off, out):
             if as_device:
                 return off, out
-            packed = np.asarray(out)[:, :n]
-            return off, np.stack(
-                [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
-                 (packed >> 16).astype(np.int16)], axis=-1)
+            return off, sp.unpack_iq(out, n)
 
         if mesh is not None:
             prmi, prmf, sf_map = pad_time_shards(

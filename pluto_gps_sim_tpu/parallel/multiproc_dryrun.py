@@ -46,7 +46,7 @@ LOCAL_DEVICES = 4
 OK_TAG = "MULTIPROC_DRYRUN OK"
 
 
-def _real_scenario(fs: float, block_samples: int):
+def _real_scenario():
     """(rin, g0, ieph, xyz) from the test-suite RINEX fixture — the real
     ingest -> scenario -> scheduler path, not synthetic params."""
     import numpy as np
@@ -125,7 +125,7 @@ def worker_body(pid: int, nproc: int) -> None:
     from ..runtime.stream import IqStream
 
     fs, bs, n_total = 1_000_000.0, 8192, 24
-    rin, g0, ieph, xyz = _real_scenario(fs, bs)
+    rin, g0, ieph, xyz = _real_scenario()
     # uniform 6-block spans keep the jit shape count at one per phase
     full_s = IqStream(rin, g0, ieph, xyz, fs=fs, block_samples=bs,
                       mode="tiled")

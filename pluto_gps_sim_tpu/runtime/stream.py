@@ -146,7 +146,8 @@ class IqStream:
                         nxt = (handle, before, self._state_snapshot())
                 if pending is not None:
                     handle, _, snap_after = pending
-                    out = handle[1] if as_device else self._finish(handle)
+                    out = (self._device_view(handle) if as_device
+                           else self._finish(handle))
                     pending = None
                     self._yield_snap = snap_after
                     yield out  # abandonment suspends HERE, with nxt live
@@ -194,6 +195,21 @@ class IqStream:
         return ("multi", [self._dispatch(self._pack(p)) for p in plans],
                 None)
 
+    def _device_view(self, handle):
+        """The raw (device-resident) output behind a dispatch handle, as
+        ONE array over the group's blocks — what as_device=True yields.
+        Pallas groups are already a single packed array; tiled/precise
+        groups dispatch per plan, so their outputs concatenate here
+        (on device for tiled, host for precise)."""
+        kind, out, _ = handle
+        if kind != "multi":
+            return out
+        parts = [h[1] for h in out]
+        if out[0][0] == "np":
+            return np.concatenate(parts, axis=0)
+        import jax.numpy as jnp
+        return jnp.concatenate(parts, axis=0)
+
     def _start_fetch(self, handle) -> None:
         """Begin the device->host copy without blocking; _finish's
         np.asarray then consumes the already-moving buffer."""
@@ -222,12 +238,8 @@ class IqStream:
             return np.asarray(out)
         if kind == "multi":
             return np.concatenate([self._finish(h) for h in out], axis=0)
-        packed = np.asarray(out)
-        n = dp.block_samples
-        iq = packed[:, :n]
-        return np.stack(
-            [(iq & 0xFFFF).astype(np.uint16).view(np.int16),
-             (iq >> 16).astype(np.int16)], axis=-1)
+        from ..ops.synth_pallas import unpack_iq
+        return unpack_iq(out, dp.block_samples)
 
     def _pack(self, plan) -> DevicePlan:
         return pack_plan(plan, tables=self.mode != "pallas")
@@ -296,6 +308,15 @@ class IqStream:
 
     def restore(self, snap: dict) -> None:
         s = self.sched
+        # a snapshot written by an older schema (e.g. one without the
+        # carrier anchor pair) would leave fields at their defaults and
+        # resume with a silent per-channel phase discontinuity at the
+        # splice — fail loudly instead
+        missing = set(vars(s.state)) - set(snap["channel_state"])
+        if missing:
+            raise ValueError(
+                f"snapshot lacks channel-state fields {sorted(missing)} "
+                "(written by an incompatible framework version?)")
         s.jblk = snap["jblk"]
         s.ieph = snap["ieph"]
         for k, v in snap["channel_state"].items():

@@ -388,3 +388,33 @@ def test_host_partition_concatenates_identically(rinex):
     s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, n_hosts=2, host_id=0)
     with pytest.raises(ValueError):
         next(s.superframes(None))  # endless streams cannot partition
+
+
+def test_as_device_multi_dispatch_tiled(rinex):
+    """as_device=True with superframes_per_dispatch>1 in tiled mode must
+    yield one array per GROUP (concatenated over its per-plan
+    dispatches), not the internal handle list (regression: consumers
+    got a list of opaque 3-tuples)."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    host = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                    block_samples=16384).generate(4)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
+                 block_samples=16384, superframes_per_dispatch=2)
+    outs = [np.asarray(x) for x in s.superframes(4, max_blocks=2,
+                                                 as_device=True)]
+    assert all(o.ndim == 3 for o in outs)
+    assert np.array_equal(np.concatenate(outs, axis=0), host)
+
+
+def test_restore_rejects_incomplete_snapshot(rinex):
+    """A snapshot from an older schema (missing channel-state fields,
+    e.g. the carrier anchor pair) must fail loudly, not resume with a
+    silent phase discontinuity."""
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled")
+    snap = s.snapshot()
+    del snap["channel_state"]["rho_anchor"]
+    with pytest.raises(ValueError, match="rho_anchor"):
+        s.restore(snap)
