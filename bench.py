@@ -83,16 +83,24 @@ def _probe_tpu(attempts: int = 3, probe_timeout: float = 150.0) -> bool:
     return False
 
 
+# metrics recorded as they complete, so a mid-run wedge still reports
+# everything measured before the stall (main() fills this in)
+_PARTIAL: dict = {}
+
+
 def _arm_deadline(seconds: float) -> None:
     """Hard wall-clock ceiling on the whole bench: if anything wedges
-    mid-run (tunnel stall during a dispatch), print a failure line the
-    driver can record and exit instead of hanging past the round end."""
+    mid-run (tunnel stall during a dispatch), print what was measured
+    plus a failure marker and exit instead of hanging past round end."""
     def _fire():
-        print(json.dumps({
-            "metric": "iq_synthesis_throughput_12ch_2p6MHz",
-            "value": None, "unit": "Msamples/s/chip", "vs_baseline": None,
-            "error": f"bench exceeded {seconds:.0f}s deadline "
-                     "(TPU tunnel stalled mid-run)"}), flush=True)
+        line = {"metric": "iq_synthesis_throughput_12ch_2p6MHz",
+                "value": None, "unit": "Msamples/s/chip",
+                "vs_baseline": None}
+        line.update(_PARTIAL)
+        line["error"] = (f"bench exceeded {seconds:.0f}s deadline "
+                         "(TPU tunnel stalled mid-run); fields above "
+                         "were measured before the stall")
+        print(json.dumps(line), flush=True)
         os._exit(2)
     t = threading.Timer(seconds, _fire)
     t.daemon = True
@@ -285,6 +293,10 @@ def main() -> None:
     samples = M * block_samples
     msps = samples / dt / 1e6
     rt_multiple = msps * 1e6 / fs
+    _PARTIAL["value"] = round(msps, 1)
+    _PARTIAL["vs_baseline"] = round(rt_multiple, 1)
+    _PARTIAL["verify"] = (f"pallas tracks precise: {exact * 100:.4f}% "
+                          f"exact, max err {max_err}<=8")
 
     def _metric(fn_):
         """Secondary metrics must not kill the bench on a transient
@@ -341,6 +353,9 @@ def main() -> None:
 
     pair = _metric(_e2e_pair)
     e2e_dev, e2e_sustained = pair if pair else (None, None)
+    _PARTIAL["e2e_device_x"] = round(e2e_dev / fs, 1) if e2e_dev else None
+    _PARTIAL["e2e_sustained_x"] = (round(e2e_sustained / fs, 1)
+                                   if e2e_sustained else None)
 
     # ---- end-to-end with delivered samples (tunnel-limited here) ----------
     # the real delivered path: IqStream with host fetches, where the
@@ -370,6 +385,7 @@ def main() -> None:
 
     e2e_del = _metric(lambda: (e2e_delivered_once(300),   # compile-warm
                                e2e_delivered_once(600, skip_sf=1))[1])
+    _PARTIAL["e2e_delivered_x"] = round(e2e_del / fs, 1) if e2e_del else None
 
     # ---- production pipelined e2e (IqStream, device-side consumer) --------
     # The real runtime path: superframes() plans and dispatches group k+1
@@ -410,8 +426,7 @@ def main() -> None:
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(rt_multiple, 1),
-        "verify": (f"pallas tracks precise: {exact * 100:.4f}% exact, "
-                   f"max err {max_err}<=8"),
+        "verify": _PARTIAL["verify"],
         "e2e_device_x": round(e2e_dev / fs, 1) if e2e_dev else None,
         "e2e_sustained_x": (round(e2e_sustained / fs, 1)
                             if e2e_sustained else None),
