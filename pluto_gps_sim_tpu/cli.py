@@ -398,7 +398,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Snapshot written to {args.snapshot}", file=sys.stderr)
 
     if hasattr(sink, "stats"):
-        print(f"sink stats: {json.dumps(sink.stats())}", file=sys.stderr)
+        stats = sink.stats()
+        if args.mode == "pallas":
+            # gain-trunc patch words dropped to the per-block slot cap
+            # (each degrades one LUT entry to the kernel's f32 trunc,
+            # a +-1 LSB effect — synth_pallas._N_PATCH); normally 0
+            from .ops import synth_pallas as _sp
+            stats["patch_dropped"] = _sp.PATCH_DROPPED
+        print(f"sink stats: {json.dumps(stats)}", file=sys.stderr)
     return 0
 
 
