@@ -216,7 +216,9 @@ def main() -> None:
     sched = Scheduler(rin, g0, ieph, xyz, fs=fs)
 
     def build_args(n_superframes: int):
-        plans = [sched.plan(300) for _ in range(n_superframes)]
+        # plan_group = the production host path (one range solve per
+        # eph-set run of superframes, as IqStream dispatch groups use)
+        plans = sched.plan_group(n_superframes, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
         pairs = [sp.build_block_params(d) for d in dps]
         prmi = np.concatenate([a for a, _ in pairs], axis=0)
