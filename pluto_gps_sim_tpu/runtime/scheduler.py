@@ -283,33 +283,64 @@ class Scheduler:
         Because every per-block quantity is closed-form in absolute time
         (see module docstring), skipping only has to maintain the
         boundary-anchored state: per-channel range/azel anchors at each
-        stop epoch (one single-epoch solve) and the 30 s boundary
-        updates (nav refresh, rollover, re-allocation).  Downstream
-        plans are bit-identical to a plan() loop over the same span
+        stop epoch and the 30 s boundary updates (nav refresh, rollover,
+        re-allocation).  The stop epochs and their eph sets are
+        deterministic (independent of channel state), so like
+        plan_group the range solves batch into ONE jitted call per run
+        of stops sharing an ephemeris set.  Downstream plans are
+        bit-identical to a plan() loop over the same span
         (test_host_partition_concatenates_identically) — this is the
         host-partition entry point that replaces the reference's
         strictly sequential loop (plutogpssim.c:2655-2806) at host
         scale."""
+        # pre-simulate (stop block, eph set at the stop): ieph advances
+        # only at 30 s boundaries via the deterministic
+        # advance_ephemeris_set, mirroring _boundary_update; each stop's
+        # anchor solve uses the PRE-rollover set (c:2774-2790 semantics)
+        stops: list[tuple[int, int]] = []
         left = int(n_blocks)
+        jblk, ieph = self.jblk, self.ieph
         while left > 0:
-            M = min(self._blocks_to_boundary(), left)
-            self.jblk += M
+            t0 = self._epoch_time(jblk)
+            rem = (-int(round(t0.sec * 10.0))) % 300
+            M = min(rem if rem > 0 else 300, left)
+            jblk += M
             left -= M
-            t_end = self._epoch_time(self.jblk)
-            # anchor the stop epoch with the CURRENT eph set (at a
-            # rollover the pre-rollover set computes the boundary range,
-            # exactly like plan()'s carry — c:2774-2790 semantics)
-            g_secs, _, rx = self._grid_arrays(np.array([self.jblk]))
-            rho = solve_ranges(self.rin.eph[self.ieph], self.ionoutc,
-                               g_secs, rx)
-            st = self.state
-            act = st.active
-            rng = np.asarray(rho["range"])[0, st.sv_idx]
-            azel = np.asarray(rho["azel"])[0, st.sv_idx, :]
-            st.rho0_range = np.where(act, rng, st.rho0_range)
-            st.azel = np.where(act[:, None], azel, st.azel)
+            stops.append((jblk, ieph))
+            t_end = self._epoch_time(jblk)
             if int(round(t_end.sec * 10.0)) % 300 == 0:
-                self._boundary_update(t_end)
+                ieph = scenario_mod.advance_ephemeris_set(
+                    self.rin, ieph, t_end)
+
+        i = 0
+        while i < len(stops):
+            j = i                  # contiguous run on one ephemeris set
+            while j + 1 < len(stops) and stops[j + 1][1] == stops[i][1]:
+                j += 1
+            ks = np.array([s[0] for s in stops[i:j + 1]])
+            # pad the grid to the next power of two (repeating the last
+            # stop) so deep fast-forwards reuse a handful of compiled
+            # solve shapes instead of one per distinct boundary count
+            n_real = len(ks)
+            n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+            ks = np.concatenate([ks, np.full(n_pad - n_real, ks[-1])])
+            g_secs, _, rx = self._grid_arrays(ks)
+            rho = solve_ranges(self.rin.eph[stops[i][1]], self.ionoutc,
+                               g_secs, rx)
+            rng_all = np.asarray(rho["range"])
+            azel_all = np.asarray(rho["azel"])
+            for r, (jb, _) in enumerate(stops[i:j + 1]):
+                self.jblk = jb
+                st = self.state
+                act = st.active
+                rng = rng_all[r, st.sv_idx]
+                azel = azel_all[r, st.sv_idx, :]
+                st.rho0_range = np.where(act, rng, st.rho0_range)
+                st.azel = np.where(act[:, None], azel, st.azel)
+                t_end = self._epoch_time(jb)
+                if int(round(t_end.sec * 10.0)) % 300 == 0:
+                    self._boundary_update(t_end)
+            i = j + 1
 
     def _bits_table(self) -> np.ndarray:
         """dwrd[60] words -> per-channel +-1 bit table [C, 1800]."""
