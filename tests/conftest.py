@@ -18,10 +18,17 @@ import pytest  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-# The axon TPU plugin ignores JAX_PLATFORMS and stays the default backend;
-# pin the default device to CPU so tests run f64-exact and fast.
+# The axon TPU plugin's sitecustomize imports jax before this file runs,
+# so the env override above can arrive after jax read its config — and a
+# wedged tunnel then blocks the first jax.devices() call (even the "cpu"
+# query initializes every registered backend).  The default suite is
+# CPU-only by design (TPU coverage is RUN_TPU-gated), so enforce
+# cpu-only through the live config unless the caller asked for the chip;
+# then pin the default device so tests run f64-exact and fast.
 import jax  # noqa: E402
 
+if not os.environ.get("RUN_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from fixtures import ensure_fixtures  # noqa: E402
