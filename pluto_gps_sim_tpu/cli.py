@@ -183,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
     # device link — slow and, observed, not bit-stable run to run).
     # The synthesis kernel device_puts its inputs explicitly.
     import jax
+    if args.mode in ("tiled", "precise"):
+        # these paths never touch the TPU; restricting the live config
+        # to cpu-only ALSO keeps them usable when the tunnel to a
+        # wedged/held chip would block backend discovery (even the
+        # "cpu" devices query initializes every registered backend)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     if args.navfile is None and not args.use_ftp:
