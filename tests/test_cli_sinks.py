@@ -8,6 +8,7 @@ CLI path and comparing it against the compiled reference oracle.
 
 from __future__ import annotations
 
+import json
 import os
 import socket
 import threading
@@ -297,3 +298,20 @@ def test_cli_shard_concatenates_identically(tmp_path, fixture_paths):
         main(base + ["--shard", "2/2", "-o", full])
     with _pytest.raises(SystemExit):
         main(base + ["--shard", "x", "-o", full])
+
+
+def test_cli_stats_reports_patch_dropped(tmp_path, fixture_paths, capsys):
+    """--stats in pallas mode surfaces the gain-trunc patch overflow
+    counter (normally 0; nonzero means some LUT entries degraded to the
+    kernel's f32 trunc — a +-1 LSB effect users should see)."""
+    out = str(tmp_path / "s.bin")
+    rc = main(["-e", fixture_paths["rinex2"],
+               "-l", "35.681298,139.766247,10.0",
+               "-s", "1000000", "-d", "0.5", "-o", out,
+               "--mode", "pallas", "--stats"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    line = next(ln for ln in err.splitlines() if ln.startswith("sink stats"))
+    stats = json.loads(line.split("sink stats: ", 1)[1])
+    assert "patch_dropped" in stats and stats["patch_dropped"] >= 0
+    assert stats["samples"] == 500_000
