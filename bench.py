@@ -21,8 +21,8 @@ Five measurements, one JSON line:
                         cost a directly attached host would sustain.
   e2e_pipelined_x       the actual production runtime path: IqStream's
                         one-group-deep software pipeline at
-                        superframes_per_dispatch=4 (one kernel call per
-                        120 s of signal through the multi-superframe
+                        superframes_per_dispatch=8 (one kernel call per
+                        240 s of signal through the multi-superframe
                         sf_map) with a device-side consumer
                         (as_device=True) — host planning of group k+1
                         overlaps device synthesis of group k.
@@ -392,12 +392,15 @@ def main() -> None:
     # ---- production pipelined e2e (IqStream, device-side consumer) --------
     # The real runtime path: superframes() plans and dispatches group k+1
     # while k is being consumed, so host control plane and device
-    # synthesis overlap.  superframes_per_dispatch=4 batches 120 s of
+    # synthesis overlap.  superframes_per_dispatch=8 batches 240 s of
     # signal per kernel call (the multi-superframe sf_map the kernel was
-    # built for), so per-dispatch flat latency amortizes; the consumer
-    # reduces on device (as_device=True) and fetches the 8 B sums once
-    # at the end — a device-resident downstream stage's behavior.
-    def e2e_pipelined(n_blocks, k_sf=4, skip_sf=0):
+    # built for), so per-dispatch flat latency amortizes (measured
+    # k-sweep on the chip: k=2 910x, k=4 1356x, k=8 1371x, k=12 1184x);
+    # the consumer reduces on device (as_device=True) and fetches the
+    # 8 B sums once at the end — a device-resident downstream stage's
+    # behavior.  (The CLI default stays k=1: a live SDR consumer wants
+    # 30 s chunks, a throughput consumer passes --dispatch-superframes.)
+    def e2e_pipelined(n_blocks, k_sf=8, skip_sf=0):
         stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
                           device=tpu, superframes_per_dispatch=k_sf)
         if skip_sf:
