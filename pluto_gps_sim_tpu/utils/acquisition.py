@@ -55,14 +55,23 @@ class AcqResult:
                 f"metric={self.metric:6.1f} ratio={self.peak_ratio:4.1f})")
 
 
-def _to_complex(iq: np.ndarray) -> np.ndarray:
-    """[..., 2] int16 (or interleaved flat int16) -> flat complex128."""
+def _to_complex(iq: np.ndarray, limit: int | None = None) -> np.ndarray:
+    """[..., 2] int16 (or interleaved flat int16) -> flat complex128.
+
+    Already-complex input passes through flattened (so callers that
+    process many PRNs can convert a long capture once).  `limit` bounds
+    the number of complex samples converted."""
     iq = np.asarray(iq)
+    if np.iscomplexobj(iq):
+        z = iq.reshape(-1)
+        return z if limit is None else z[:limit]
     if iq.ndim >= 2 and iq.shape[-1] == 2:
-        flat = iq.reshape(-1, 2).astype(np.float64)
+        flat = iq.reshape(-1, 2)
     else:
-        flat = iq.reshape(-1)[: iq.size // 2 * 2].astype(
-            np.float64).reshape(-1, 2)
+        flat = iq.reshape(-1)[: iq.size // 2 * 2].reshape(-1, 2)
+    if limit is not None:
+        flat = flat[:limit]
+    flat = flat.astype(np.float64)
     return flat[:, 0] + 1j * flat[:, 1]
 
 
@@ -91,8 +100,8 @@ def acquire(iq: np.ndarray, fs: float, prn: int,
     same order as a weak low-elevation channel; it is kept as a
     diagnostic only).
     """
-    z = _to_complex(iq)
     n_per_code = int(round(fs * CA_SEQ_LEN / CODE_FREQ))   # 1 ms of samples
+    z = _to_complex(iq, limit=n_windows * n_per_code)
     if z.size < n_windows * n_per_code:
         raise ValueError(f"need >= {n_windows * n_per_code} samples "
                          f"({n_windows} ms at fs={fs:.0f}), got {z.size}")
