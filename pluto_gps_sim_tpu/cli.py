@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint written by --snapshot")
     p.add_argument("--stats", action="store_true",
                    help="print JSON stream stats (samples, rate, CRC32)")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="after a file-sink run, FFT-acquire every planned "
+                        "PRN from the written IQ and fail if any is not "
+                        "receivable (software stand-in for the reference's "
+                        "hardware-receiver validation)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a JAX profiler trace of the run into DIR")
     p.add_argument("--dispatch-superframes", type=int, default=1,
@@ -323,6 +328,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.verbose:
         _print_channel_table(stream)
+    # channel set at stream start (rise/set may change it mid-run; the
+    # selfcheck acquires from the file's FIRST milliseconds)
+    start_prns = sorted(int(p) for p in stream.sched.state.prn if p > 0)
 
     sink_kind = args.sink
     if sink_kind is None:
@@ -403,6 +411,14 @@ def main(argv: list[str] | None = None) -> int:
                 _dump_snapshot(stream.snapshot(), fp)
             print(f"Snapshot written to {args.snapshot}", file=sys.stderr)
 
+    if args.selfcheck:
+        if sink_kind != "file" or produced == 0:
+            print("selfcheck: needs a file sink and >= 1 block written",
+                  file=sys.stderr)
+            return 1
+        if not _selfcheck(args.out, args.fs, start_prns):
+            return 1
+
     if hasattr(sink, "stats"):
         stats = sink.stats()
         if args.mode == "pallas":
@@ -413,6 +429,26 @@ def main(argv: list[str] | None = None) -> int:
             stats["patch_dropped"] = _sp.PATCH_DROPPED
         print(f"sink stats: {json.dumps(stats)}", file=sys.stderr)
     return 0
+
+
+def _selfcheck(path: str, fs: float, planned: list[int]) -> bool:
+    """FFT-acquire every planned PRN from the first ms of the written
+    file; print one line per PRN and a verdict."""
+    import numpy as np
+
+    from .utils.acquisition import acquire
+
+    # acquire() uses 2 one-ms windows: 2 * n_per_code IQ pairs of int16
+    n_int16 = 4 * int(round(fs * 1e-3)) + 4
+    iq = np.fromfile(path, dtype=np.int16, count=n_int16)
+    ok = True
+    for prn in planned:
+        r = acquire(iq, fs, prn)
+        print(f"selfcheck: {r}", file=sys.stderr)
+        ok = ok and r.detected
+    print(f"selfcheck: {'PASS' if ok else 'FAIL'} "
+          f"({len(planned)} planned PRNs)", file=sys.stderr)
+    return ok
 
 
 def _now_utc() -> DateTime:

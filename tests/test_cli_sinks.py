@@ -315,3 +315,25 @@ def test_cli_stats_reports_patch_dropped(tmp_path, fixture_paths, capsys):
     stats = json.loads(line.split("sink stats: ", 1)[1])
     assert "patch_dropped" in stats and stats["patch_dropped"] >= 0
     assert stats["samples"] == 500_000
+
+
+def test_cli_selfcheck(tmp_path, fixture_paths, capsys):
+    """--selfcheck re-acquires every planned PRN from the written file
+    and FAILs (rc=1) when the IQ does not carry them."""
+    out = str(tmp_path / "sc.bin")
+    rc = main(["-e", fixture_paths["rinex2"],
+               "-l", "35.681298,139.766247,10.0",
+               "-s", "2600000", "-d", "0.2", "-o", out,
+               "--mode", "tiled", "--selfcheck"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "selfcheck: PASS" in err
+    assert err.count("HIT") >= 4
+
+    # noise in place of signal -> acquisitions miss -> FAIL verdict
+    from pluto_gps_sim_tpu.cli import _selfcheck
+    n = np.fromfile(out, dtype=np.int16).size
+    rng = np.random.RandomState(7)
+    rng.randint(-500, 500, n).astype(np.int16).tofile(out)
+    assert _selfcheck(out, 2_600_000.0, [3, 5, 6]) is False
+    assert "selfcheck: FAIL" in capsys.readouterr().err

@@ -174,3 +174,35 @@ def test_compiled_long_run_rollover(fixture_paths):
     # bound allows ~5 of 515M — the pre-fix mechanisms read 124 (carrier
     # Q12) and ~48k (gain trunc) here and must fail loudly.
     assert exact >= 1.0 - 1e-8 and max_err <= 8
+
+
+def test_compiled_iq_is_receivable(fixture_paths):
+    """Capstone: 40 s of IQ from the COMPILED kernel via the production
+    IqStream path is *receivable* — the software GPS receiver
+    (utils/receiver.py: acquisition, Costas PLL + carrier-aided DLL,
+    parity-checked LNAV decode) obtains a position fix within metres of
+    the simulated location using only broadcast-decoded parameters.
+    The software equivalent of the reference's hardware validation
+    (RF into a real receiver), run against the real Mosaic artifact."""
+    from pluto_gps_sim_tpu.runtime.stream import IqStream
+    from pluto_gps_sim_tpu.utils.receiver import receive_and_fix
+
+    tpu = _tpu()
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO))
+    fs = 2_600_000.0
+    stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
+                      device=tpu, superframes_per_dispatch=2)
+    iq = np.concatenate(
+        [np.asarray(b) for b in stream.superframes(400)], axis=0)
+
+    sol, tracks = receive_and_fix(iq, fs, ref_week=g0.week,
+                                  measure_sample=int(round(fs)))
+    err = float(np.linalg.norm(sol.xyz - xyz))
+    print(f"receiver fix on compiled-kernel IQ: {err:.1f} m, "
+          f"{len(sol.prns)} SVs, rms residual {sol.rms_residual:.1f} m")
+    assert err < 15.0, f"fix error {err:.1f} m"
+    assert len(sol.prns) >= 6
+    assert all(tr.decoded for tr in tracks.values())
