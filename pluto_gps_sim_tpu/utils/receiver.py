@@ -54,7 +54,8 @@ from .lnav_decode import (
 )
 
 __all__ = ["TrackResult", "track", "frame_sync", "transmit_time",
-           "NavSolution", "solve_fix", "receive_and_fix"]
+           "refine_code_phase", "NavSolution", "solve_fix",
+           "receive_and_fix"]
 
 
 def _loop_coef(lbw: float, zeta: float, k: float) -> tuple[float, float]:
@@ -288,6 +289,53 @@ def transmit_time(tr: TrackResult, n_sample: int) -> float:
     return (tr.tow - 1) * 6.0 + (p - p0) * 1e-3 + chips * (1e-3 / CA_SEQ_LEN)
 
 
+def refine_code_phase(tr: TrackResult, z: np.ndarray, n_sample: int,
+                      n_avg: int = 16, spacing_bits: int = 10,
+                      n_coh_ms: int = 18, half: float = 0.6,
+                      k: int = 13) -> float:
+    """Open-loop code-phase correction (chips) for the tracked state
+    around receiver sample `n_sample`.
+
+    The closed-loop DLL (0.5-chip early-late on floor-sampled replicas)
+    carries a per-channel bias of a few thousandths of a chip (metres).
+    This measures it directly: coherent `n_coh_ms` correlations against
+    replicas offset by a grid of sub-chip lags, then a two-line fit of
+    the C/A correlation triangle whose apex is the true lag.  Averaged
+    over `n_avg` bit-aligned windows so cross-channel interference
+    (which decorrelates across windows unless two PRNs sit at the same
+    Doppler) averages down.  Returns the signed apex offset in chips;
+    add `apex / CODE_FREQ` to transmit_time()'s result.
+    """
+    chips_pm = CA_TABLE[tr.prn - 1].astype(np.float64) * 2.0 - 1.0
+    offs = np.linspace(-half, half, k)
+    left = offs < -0.08
+    right = offs > 0.08
+
+    p0 = int(np.searchsorted(tr.block_start, n_sample, "right")) - 1
+    b0 = (p0 - tr.bit_offset) // 20
+    apexes = []
+    for j in range(n_avg):
+        b = b0 + (j - n_avg // 2) * spacing_bits
+        ps = tr.bit_offset + 20 * b + 1      # inside one nav bit
+        if ps < 0 or ps + n_coh_ms + 1 >= len(tr.block_start):
+            continue
+        s0 = int(tr.block_start[ps])
+        blk = int(tr.block_start[ps + n_coh_ms] - s0)
+        n = np.arange(blk)
+        v = z[s0:s0 + blk] * np.exp(
+            -2j * np.pi * (tr.f_carr[ps] / tr.fs) * n)
+        tc = tr.rem_code_phase[ps] + n * (tr.f_code[ps] / tr.fs)
+        mags = np.array([
+            abs(v @ chips_pm[np.floor(tc + d).astype(np.int64)
+                             % CA_SEQ_LEN]) for d in offs])
+        al, bl = np.polyfit(offs[left], mags[left], 1)
+        ar, br = np.polyfit(offs[right], mags[right], 1)
+        if al - ar == 0.0 or not np.isfinite(mags).all():
+            continue
+        apexes.append((br - bl) / (al - ar))
+    return float(np.mean(apexes)) if apexes else 0.0
+
+
 @dataclass
 class NavSolution:
     """Receiver position/clock solution and its diagnostics."""
@@ -357,7 +405,8 @@ def solve_fix(eph, ionoutc, t_tx: dict, x0=None, t0=None,
 
 def receive_and_fix(iq, fs: float, ref_week: int, n_ms: int | None = None,
                     measure_sample: int | None = None,
-                    prns=range(1, 33), verbose: bool = False):
+                    prns=range(1, 33), refine: bool = True,
+                    verbose: bool = False):
     """Full receiver chain: acquire -> track -> decode -> fix.
 
     Returns (NavSolution, {prn: TrackResult}).  `ref_week` resolves the
@@ -365,7 +414,9 @@ def receive_and_fix(iq, fs: float, ref_week: int, n_ms: int | None = None,
     common receiver epoch the pseudoranges are formed at; it must be
     late enough that every channel has frame-synced (>= 1 subframe into
     the stream) — transmit_time() covers any tracked sample, so the
-    epoch itself only needs to be inside the tracked span.
+    epoch itself only needs to be inside the tracked span.  `refine`
+    applies the open-loop apex correction (refine_code_phase), removing
+    most of the DLL's per-channel metre-level bias.
     """
     from .acquisition import _to_complex
     z = _to_complex(iq)            # convert the capture once for all PRNs
@@ -397,6 +448,9 @@ def receive_and_fix(iq, fs: float, ref_week: int, n_ms: int | None = None,
             if iono is None and tr.decoded.get("sf4_page") == 56:
                 iono = build_ionoutc(tr.decoded)
         t_tx[prn] = transmit_time(tr, measure_sample)
+        if refine:
+            t_tx[prn] += refine_code_phase(tr, z, measure_sample) \
+                / CODE_FREQ
         if verbose:
             d = tr.decoded
             print(f"PRN {prn:2d}: tow={tr.tow} "

@@ -170,12 +170,15 @@ def test_receiver_position_fix(scenario, long_iq):
 
     assert sorted(sol.prns) == planned
     err = np.linalg.norm(sol.xyz - xyz)
-    assert err < 15.0, f"fix error {err:.1f} m (xyz {sol.xyz})"
+    # measured 4.0 m on this deterministic fixture (open-loop apex
+    # refinement on; residual limited by PRN 11/22 sharing a Doppler
+    # bin, whose C/A cross-correlation cannot average out)
+    assert err < 8.0, f"fix error {err:.1f} m (xyz {sol.xyz})"
     # the simulated receiver has zero clock bias: solved t_rx is the
     # scenario GPS time of the measurement sample
     t_true = g0.sec + 1.0
-    assert abs(sol.t_rx - t_true) * SPEED_OF_LIGHT < 15.0
-    assert sol.rms_residual < 10.0
+    assert abs(sol.t_rx - t_true) * SPEED_OF_LIGHT < 10.0
+    assert sol.rms_residual < 5.0
 
     # every channel decoded its own full ephemeris + the iono page
     for prn, tr in tracks.items():
