@@ -212,3 +212,34 @@ def test_transmit_time_matches_range_model(scenario, long_iq):
     t_expect = (g0.sec + 1.0) - rho / SPEED_OF_LIGHT
     err_m = abs(t_tx - t_expect) * SPEED_OF_LIGHT
     assert err_m < 5.0, f"transmit-time error {err_m:.2f} m"
+
+
+@pytest.mark.skipif(__import__("os").environ.get("RUN_SOAK") != "1",
+                    reason="long receiver run; enable with RUN_SOAK=1")
+def test_receiver_fix_tracks_moving_receiver():
+    """Dynamic motion: the software receiver's fix lands on the MOVING
+    simulated receiver's position at the measurement epoch (circle
+    trajectory, radius 50 m, ~10.5 m/s) — receiver-side validation of
+    the 10 Hz user-motion timeline, independent of the oracle A/B."""
+    from pluto_gps_sim_tpu.ingest import read_user_motion
+
+    paths = ensure_fixtures()
+    rin = read_rinex2(paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = read_user_motion(paths["motion"])
+    stream = IqStream(rin, g0, ieph, xyz, fs=FS, static_mode=False,
+                      mode="tiled")
+    iq = np.concatenate(
+        [np.asarray(b) for b in stream.superframes(400)], axis=0)
+
+    sol, _ = receive_and_fix(iq, FS, ref_week=g0.week,
+                             measure_sample=int(round(FS)))
+    # block 10's anchor uses motion row 9 (scheduler._motion_index)
+    expect = xyz[9]
+    err = float(np.linalg.norm(sol.xyz - expect))
+    assert err < 15.0, f"moving fix error {err:.1f} m"   # measured 8.3
+    # sanity: the fix resolves WHERE ON THE CIRCLE we are, i.e. it is
+    # on the rim (50 m from the trajectory center), not near the center
+    center = xyz.mean(axis=0)
+    assert abs(np.linalg.norm(sol.xyz - center) - 50.0) < 16.0
