@@ -417,7 +417,12 @@ def main() -> None:
         return n_blocks * block_samples / dt
 
     def _pipe():
-        e2e_pipelined(2400)                 # warm the group shapes
+        # warm BOTH group shapes the timed runs hit: 6000 blocks = 20
+        # superframes at k=8 dispatch as groups of 8+8+4, so warm with
+        # 3600 blocks = 12 superframes = 8+4 (a 2400-block warm would
+        # leave the trailing 4-superframe sf_map to compile inside the
+        # first timed rep)
+        e2e_pipelined(3600)
         # each rep starts a different number of superframes into the
         # scenario: same shapes (compile cache hits), different bytes
         # (no tunnel-level call caching can inflate the timing)

@@ -316,6 +316,14 @@ def main(argv: list[str] | None = None) -> int:
         print("ERROR: --shard requires a finite -d duration",
               file=sys.stderr)
         return 1
+    if args.selfcheck and host_id != 0:
+        # the planned-PRN set is captured at scenario t0, but shard
+        # host_id > 0 fast-forwards before writing: its file starts
+        # mid-scenario where rise/set may have changed the set.
+        # Selfcheck shard 0, or the concatenated output, instead.
+        print("ERROR: --selfcheck only supports --shard 0/N",
+              file=sys.stderr)
+        return 1
     stream = IqStream(rin, g0, ieph, xyz, fs=args.fs,
                       static_mode=static_mode, mode=mode,
                       superframes_per_dispatch=args.dispatch_superframes,

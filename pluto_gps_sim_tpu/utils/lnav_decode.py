@@ -207,25 +207,9 @@ def build_ephemerides(decoded: dict, sv: int, ref_week: int,
     slots stay vflg=False/zero.  Pass several (decoded, sv) pairs
     through repeatedly via `eph_factory=existing` to accumulate SVs.
     """
-    from ..types import Ephemerides
+    from ..types import empty_ephemerides
 
-    if eph_factory is None:
-        z = lambda dt: np.zeros(32, dt)  # noqa: E731
-        eph = Ephemerides(
-            vflg=z(bool), toc_week=z(np.int32), toc_sec=z(np.float64),
-            toe_week=z(np.int32), toe_sec=z(np.float64),
-            iodc=z(np.int32), iode=z(np.int32),
-            deltan=z(np.float64), cuc=z(np.float64), cus=z(np.float64),
-            cic=z(np.float64), cis=z(np.float64), crc=z(np.float64),
-            crs=z(np.float64), ecc=z(np.float64), sqrta=z(np.float64),
-            m0=z(np.float64), omg0=z(np.float64), inc0=z(np.float64),
-            aop=z(np.float64), omgdot=z(np.float64), idot=z(np.float64),
-            af0=z(np.float64), af1=z(np.float64), af2=z(np.float64),
-            tgd=z(np.float64), svhlth=z(np.int32), codeL2=z(np.int32),
-            A=z(np.float64), n=z(np.float64), sq1e2=z(np.float64),
-            omgkdot=z(np.float64))
-    else:
-        eph = eph_factory
+    eph = empty_ephemerides(1)[0] if eph_factory is None else eph_factory
 
     # nearest full week congruent to the broadcast wn mod 1024
     k = round((ref_week - decoded["wn"]) / 1024.0)

@@ -236,9 +236,10 @@ def frame_sync(tr: TrackResult, skip_ms: int = 100) -> TrackResult:
 
     for pol in (1, -1):
         pb = b01 if pol == 1 else 1 - b01
-        # candidate subframe starts: preamble match with >= 300+2 bits
-        # of stream after them and >= 2 bits before (for D29*/D30*)
-        for k0 in range(2, nbits - 300):
+        # candidate subframe starts: preamble match with >= 300 bits of
+        # stream from them (k0 == nbits-300 is the last valid start)
+        # and >= 2 bits before (for D29*/D30*)
+        for k0 in range(2, nbits - 299):
             pre = 0
             for b in pb[k0:k0 + 8]:
                 pre = (pre << 1) | int(b)
@@ -262,13 +263,19 @@ def frame_sync(tr: TrackResult, skip_ms: int = 100) -> TrackResult:
                 if d2 is None:
                     break
                 t2, s2 = decode_how(d2[1])
-                if t2 != t + 1:
+                if t2 != (t + 1) % 100800:   # Z-count wraps at week end
                     break
                 tr.subframes[s2] = d2
                 k += 300
                 t = t2
             if {1, 2, 3} <= tr.subframes.keys():
-                tr.decoded = decode_frame(tr.subframes)
+                try:
+                    tr.decoded = decode_frame(tr.subframes)
+                except ValueError:
+                    # e.g. IODE/IODC mismatch when the capture spans an
+                    # ephemeris upload: frame sync still succeeded, the
+                    # channel's transmit_time is still usable
+                    tr.decoded = {}
             return tr
     raise ValueError(f"PRN {tr.prn}: no parity-verified subframe found")
 
@@ -285,8 +292,12 @@ def transmit_time(tr: TrackResult, n_sample: int) -> float:
         (n_sample - tr.block_start[p]) * tr.f_code[p] / tr.fs
     p0 = tr.bit_offset + 20 * tr.sbf_start_bit   # period of subframe start
     # HOW holds the Z-count of the NEXT subframe: this one began at
-    # (tow-1)*6 s
-    return (tr.tow - 1) * 6.0 + (p - p0) * 1e-3 + chips * (1e-3 / CA_SEQ_LEN)
+    # (tow-1)*6 s.  tow == 0 means the subframe started 6 s before the
+    # week rollover; the modulo keeps the result in seconds-of-week
+    # (a fix with measurements straddling the rollover epoch itself
+    # would mix weeks in solve_fix and is out of scope).
+    t_sbf = ((tr.tow - 1) * 6.0) % 604800.0
+    return t_sbf + (p - p0) * 1e-3 + chips * (1e-3 / CA_SEQ_LEN)
 
 
 def refine_code_phase(tr: TrackResult, z: np.ndarray, n_sample: int,
