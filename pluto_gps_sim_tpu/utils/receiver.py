@@ -55,6 +55,7 @@ from .lnav_decode import (
 
 __all__ = ["TrackResult", "track", "frame_sync", "transmit_time",
            "refine_code_phase", "NavSolution", "solve_fix",
+           "measured_doppler", "VelSolution", "solve_velocity",
            "receive_and_fix"]
 
 
@@ -356,6 +357,7 @@ class NavSolution:
     residuals: np.ndarray    # [n_sv] post-fit range residuals (m)
     prns: list
     n_iter: int
+    velocity: "VelSolution | None" = None   # filled by receive_and_fix
 
     @property
     def rms_residual(self) -> float:
@@ -414,13 +416,91 @@ def solve_fix(eph, ionoutc, t_tx: dict, x0=None, t0=None,
                        n_iter=it)
 
 
+def measured_doppler(tr: TrackResult, n_sample: int,
+                     window_ms: int = 200) -> float:
+    """Carrier Doppler (Hz) at receiver sample `n_sample`, averaged over
+    the `window_ms` code periods centered there.
+
+    The PLL's per-period NCO frequency (tr.f_carr) is an unbiased but
+    noisy estimate of the incoming Doppler; the synthesized Doppler is
+    piecewise-constant per 0.1 s block (epoch.py), so a centered mean
+    over ~200 periods averages loop jitter down to the sub-Hz level
+    while staying centered on the instantaneous value (the quadratic
+    Doppler-rate term over 0.2 s is mm/s-class)."""
+    p0 = int(np.searchsorted(tr.block_start, n_sample, "right")) - 1
+    lo = max(tr.bit_offset if tr.bit_offset > 0 else 0,
+             p0 - window_ms // 2)
+    hi = min(len(tr.f_carr), p0 + window_ms // 2)
+    if hi <= lo:
+        raise ValueError("measurement epoch outside the tracked span")
+    return float(np.mean(tr.f_carr[lo:hi]))
+
+
+@dataclass
+class VelSolution:
+    """Receiver velocity/clock-drift solution and its diagnostics."""
+
+    vel: np.ndarray          # [3] ECEF m/s
+    cbdot: float             # receiver clock drift * c (m/s)
+    residuals: np.ndarray    # [n_sv] post-fit range-rate residuals (m/s)
+    prns: list
+
+    @property
+    def rms_residual(self) -> float:
+        return float(np.sqrt(np.mean(self.residuals ** 2)))
+
+
+def solve_velocity(eph, ionoutc, fd: dict, sol: NavSolution) -> VelSolution:
+    """Least-squares receiver velocity from measured carrier Dopplers
+    {prn: Hz}, around a position solution `sol` (solve_fix output).
+
+    The simulator's carrier Doppler is the full pseudorange rate,
+    f_carr = -d(rho)/dt / lambda (plutogpssim.c:1760-1763, epoch.py:88),
+    where rho includes SV motion, Sagnac, SV clock drift, and iono rate
+    — so the model here is the time/position derivative of the SAME
+    compute_range forward model solve_fix uses, taken by finite
+    differences:  -lambda*fd_i = d_t(rho_i) + grad_x(rho_i)@v + c*bdot.
+    Solving the linear system for (v[3], c*bdot) validates the
+    synthesized Doppler chain end-to-end: a sign error, a lambda-scale
+    error, or a rate-term omission in epoch.py would land the velocity
+    hundreds of m/s off, not cm/s."""
+    from ..constants import LAMBDA_L1
+    from ..models import orbits
+
+    prns = sorted(fd)
+    if len(prns) < 4:
+        raise ValueError(f"need >= 4 satellites, have {len(prns)}")
+    idx = np.array([p - 1 for p in prns])
+    x, t = sol.xyz, sol.t_rx
+
+    def prange(xv, tv):
+        r = orbits.compute_range(eph, ionoutc, tv, xv)
+        return np.asarray(r["range"])[idx]
+
+    h = 0.05
+    dt_part = (prange(x, t + h) - prange(x, t - h)) / (2.0 * h)
+    cols = []
+    for j in range(3):
+        dx = x.copy()
+        dx[j] += 1.0
+        cols.append(prange(dx, t) - prange(x, t))
+    jac = np.stack(cols + [np.ones(len(prns))], axis=1)
+    rhs = np.array([-LAMBDA_L1 * fd[p] for p in prns]) - dt_part
+    u, *_ = np.linalg.lstsq(jac, rhs, rcond=None)
+    res = rhs - jac @ u
+    return VelSolution(vel=u[:3], cbdot=float(u[3]), residuals=res,
+                       prns=prns)
+
+
 def receive_and_fix(iq, fs: float, ref_week: int, n_ms: int | None = None,
                     measure_sample: int | None = None,
                     prns=range(1, 33), refine: bool = True,
                     verbose: bool = False):
     """Full receiver chain: acquire -> track -> decode -> fix.
 
-    Returns (NavSolution, {prn: TrackResult}).  `ref_week` resolves the
+    Returns (NavSolution, {prn: TrackResult}); the solution also
+    carries a Doppler velocity solve as `sol.velocity` (VelSolution, or
+    None if it failed).  `ref_week` resolves the
     broadcast 10-bit week.  `measure_sample` (default: 1 s in) is the
     common receiver epoch the pseudoranges are formed at; it must be
     late enough that every channel has frame-synced (>= 1 subframe into
@@ -473,6 +553,12 @@ def receive_and_fix(iq, fs: float, ref_week: int, n_ms: int | None = None,
         iono = build_ionoutc({})
     usable = {p: t for p, t in t_tx.items() if bool(eph.vflg[p - 1])}
     sol = solve_fix(eph, iono, usable)
+    try:
+        fd = {p: measured_doppler(tracks[p], measure_sample)
+              for p in usable}
+        sol.velocity = solve_velocity(eph, iono, fd, sol)
+    except ValueError:
+        sol.velocity = None
     return sol, tracks
 
 
@@ -504,6 +590,12 @@ def _main(argv=None) -> int:
     print(f"     t_rx {sol.t_rx:.9f} s-of-week, "
           f"rms residual {sol.rms_residual:.2f} m, "
           f"{len(sol.prns)} SVs {sol.prns}")
+    v = sol.velocity
+    if v is not None:
+        print(f"     VEL  {v.vel.round(3).tolist()} m/s "
+              f"(|v| {float(np.linalg.norm(v.vel)):.3f}), "
+              f"clk drift {v.cbdot:.3f} m/s, "
+              f"rms rate residual {v.rms_residual:.3f} m/s")
     return 0
 
 

@@ -186,6 +186,19 @@ def test_receiver_position_fix(scenario, long_iq):
         assert {1, 2, 3} <= tr.subframes.keys()
     assert any(tr.decoded.get("sf4_page") == 56 for tr in tracks.values())
 
+    # Doppler velocity solve: the receiver is static, so the solved
+    # velocity must be ~0 — this pins the full synthesized Doppler
+    # chain (f_carr = -d(rho)/dt / lambda incl. SV motion, Sagnac, SV
+    # clock drift) against the decoded-ephemeris rate model; a sign or
+    # scale error would read hundreds of m/s
+    v = sol.velocity
+    assert v is not None and sorted(v.prns) == planned
+    speed = float(np.linalg.norm(v.vel))
+    assert speed < 0.15, f"static receiver velocity {speed:.3f} m/s"
+    # perfect sampling clock in the simulation -> no receiver drift
+    assert abs(v.cbdot) < 0.15
+    assert v.rms_residual < 0.1
+
 
 def test_transmit_time_matches_range_model(scenario, long_iq):
     """Tracked transmit time == scenario closed form: at a block
@@ -243,3 +256,17 @@ def test_receiver_fix_tracks_moving_receiver():
     # on the rim (50 m from the trajectory center), not near the center
     center = xyz.mean(axis=0)
     assert abs(np.linalg.norm(sol.xyz - center) - 50.0) < 16.0
+
+    # Doppler velocity solve recovers the MOVING receiver's velocity:
+    # the measured Doppler window (200 ms centered at t0+1.0 s) spans
+    # motion rows ~9..11, so the truth is the mean velocity over that
+    # window; tolerance covers the window-averaging of the turning
+    # tangent (~0.2 m/s) plus PLL noise
+    v = sol.velocity
+    assert v is not None
+    v_true = (xyz[11] - xyz[9]) / 0.2
+    err_v = float(np.linalg.norm(v.vel - v_true))
+    assert err_v < 1.0, f"velocity error {err_v:.2f} m/s " \
+                        f"(got {v.vel}, true {v_true})"
+    speed = float(np.linalg.norm(v.vel))
+    assert abs(speed - np.linalg.norm(v_true)) < 0.7
