@@ -417,17 +417,19 @@ def main() -> None:
         return n_blocks * block_samples / dt
 
     def _pipe():
-        # warm BOTH group shapes the timed runs hit: 6000 blocks = 20
-        # superframes at k=8 dispatch as groups of 8+8+4, so warm with
-        # 3600 blocks = 12 superframes = 8+4 (a 2400-block warm would
-        # leave the trailing 4-superframe sf_map to compile inside the
-        # first timed rep)
-        e2e_pipelined(3600)
+        # reps are 12000 blocks = 40 superframes = five uniform
+        # 8-superframe dispatch groups, so (a) the only compiled group
+        # shape is the 2400-block one the warm run covers, and (b) the
+        # pipeline-fill cost (the first group's ~0.1 s host plan has no
+        # device work to hide under) amortizes over 5 groups — the
+        # steady-state rate is the production quantity (the reference
+        # runs for hours, c:2655)
+        e2e_pipelined(2400)
         # each rep starts a different number of superframes into the
         # scenario: same shapes (compile cache hits), different bytes
         # (no tunnel-level call caching can inflate the timing)
         return float(np.median(
-            [e2e_pipelined(6000, skip_sf=1 + r) for r in range(3)]))
+            [e2e_pipelined(12000, skip_sf=1 + r) for r in range(3)]))
 
     e2e_pipe = _metric(_pipe)
 

@@ -43,7 +43,7 @@ from ..utils.hostjax import cpu_jit
 
 __all__ = ["solve_ranges", "ranges_to_params", "solve_superframe"]
 
-_ANT_PAT = jnp.asarray(ant_pat_linear())
+_ANT_PAT = np.asarray(ant_pat_linear())
 
 
 @cpu_jit
@@ -68,11 +68,10 @@ def solve_ranges_batch(eph: Ephemerides, ionoutc: IonoUtc,
         eph, ionoutc, g_secs, rx))(rx_pos)
 
 
-@cpu_jit
-def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
-                     rho_el: jnp.ndarray,
-                     g_secs: jnp.ndarray, g_weeks: jnp.ndarray,
-                     g0_sec: jnp.ndarray, g0_week: jnp.ndarray, dt: float):
+def ranges_to_params(rho_range: np.ndarray, rho_d: np.ndarray,
+                     rho_el: np.ndarray,
+                     g_secs: np.ndarray, g_weeks: np.ndarray,
+                     g0_sec: np.ndarray, g0_week: np.ndarray, dt: float):
     """Per-block channel parameters from consecutive range pairs.
 
     Inputs are per-channel gathers over the epoch grid:
@@ -80,6 +79,14 @@ def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
       g_secs/g_weeks [n_epochs] epoch GPS time (seconds-of-week, week),
       g0_sec/g0_week [C] each channel's data-bit reference time.
     Block k (k in [0, n_epochs-1)) uses epochs k (anchor) and k+1.
+
+    Pure numpy (f64): this used to be a cpu_jit, but the per-superframe
+    jit dispatch + host<->jax conversions cost ~5 ms on one core — ~25x
+    the actual [300, 12] elementwise compute — and sat on the pipelined
+    stream's critical host path.  The expression tree is unchanged
+    (plain IEEE-754 f64 elementwise ops, truncating int casts), and
+    every synthesis path consumes the same plan arrays, so the
+    bit-exactness chain (precise == tiled == pallas) is unaffected.
 
     Returns dict of [n_blocks, C]: f_carr, f_code, code_phase, iword,
     ibit, icode, gain."""
@@ -99,7 +106,7 @@ def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
     t_anchor = (g_secs[:-1, None] - g0_sec[None, :]) + \
         (g_weeks[:-1, None] - g0_week[None, :]) * SECONDS_IN_WEEK
     ms = ((t_anchor + 6.0) - rho0 / SPEED_OF_LIGHT) * 1000.0
-    ims = ms.astype(jnp.int32)          # C (int) truncation (ms >= 0 here)
+    ims = ms.astype(np.int32)           # C (int) truncation (ms >= 0 here)
     code_phase = (ms - ims) * CA_SEQ_LEN
 
     iword = ims // 600
@@ -113,8 +120,10 @@ def ranges_to_params(rho_range: jnp.ndarray, rho_d: jnp.ndarray,
     d1 = rho_d[1:]
     el1 = rho_el[1:]
     path_loss = PATH_LOSS_NUMERATOR / d1
-    ibs = ((90.0 - el1 * R2D) / 5.0).astype(jnp.int32)
-    ant_gain = _ANT_PAT[ibs]
+    ibs = ((90.0 - el1 * R2D) / 5.0).astype(np.int32)
+    # the jitted version's gather clamped OOB indices (XLA semantics);
+    # keep that for masked lanes whose dummy elevation may be < 0
+    ant_gain = _ANT_PAT[np.clip(ibs, 0, len(_ANT_PAT) - 1)]
     gain = path_loss * ant_gain
 
     return {
@@ -158,12 +167,10 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
     # anchor override at t_0 (cross-superframe continuity)
     rng = rng.copy()
     rng[0] = np.where(active, rho0_range, rng[0])
-    params = ranges_to_params(jnp.asarray(rng), jnp.asarray(d),
-                              jnp.asarray(el), jnp.asarray(g_secs),
-                              jnp.asarray(g_weeks, dtype=np.float64),
-                              jnp.asarray(g0_sec),
-                              jnp.asarray(g0_week, dtype=np.float64), dt)
-    params = {k: np.asarray(v) for k, v in params.items()}
+    params = ranges_to_params(rng, d, el, np.asarray(g_secs, np.float64),
+                              np.asarray(g_weeks, np.float64),
+                              np.asarray(g0_sec, np.float64),
+                              np.asarray(g0_week, np.float64), dt)
     params["active"] = np.broadcast_to(active, params["f_carr"].shape).copy()
     params["azel"] = azel[1:]  # per-block az/el (epoch k+1), for logging
     # anchor-epoch pseudoranges (override applied): the scheduler's

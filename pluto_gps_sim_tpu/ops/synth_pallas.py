@@ -544,46 +544,62 @@ def build_block_params(dp):
     patch = np.zeros((M, _N_PATCH), np.float32)
     slot_owner = []                                # (block, slot, channel)
     dropped = 0
-    am, ac = np.nonzero(act)                       # [A] active (block, chan)
-    if am.size:
-        ga32 = gain[am, ac]                        # [A] f32
-        p32 = ga32[:, None] * _MAGS64.astype(np.float32)[None, :]
-        magic = np.float32(12582912.0)             # 1.5 * 2^23
+    # Interval exoneration first (the pipelined stream is host-bound and
+    # the old dense [active pairs x 223] f32 sweep was ~30% of this
+    # function): over one superframe a channel's gain spans a narrow
+    # interval, so T*g can only straddle an integer if that interval
+    # (widened by delta = 2^-11, a strict bound on the f32 prefilter's
+    # |p32 - p64| <= p*2^-23 + 2^-12 trigger window) contains one.
+    # ~12x223 f64 interval tests replace ~2100x223 f32 products; the
+    # dense test runs only on the surviving (channel, magnitude) pairs.
+    delta = 2.0 ** -11
+    gmin = np.min(np.where(act, dp.gain, np.inf), axis=0)       # [C]
+    gmax = np.max(np.where(act, dp.gain, -np.inf), axis=0)
+    plo = gmin[:, None] * _MAGS64[None, :] - delta              # [C, 223]
+    phi = gmax[:, None] * _MAGS64[None, :] + delta
+    has_int = (np.floor(phi) >= np.ceil(plo)) & act.any(axis=0)[:, None]
+    cand = []                                      # (m, c, j) in scan order
+    magic = np.float32(12582912.0)                 # 1.5 * 2^23
+    for c in np.nonzero(has_int.any(axis=1))[0]:
+        js = np.nonzero(has_int[c])[0]
+        ms = np.nonzero(act[:, c])[0]
+        p32 = gain[ms, c][:, None] * _MAGS64[js].astype(np.float32)[None, :]
         frac = p32 - ((p32 + magic) - magic)
         near = np.abs(frac) < np.float32(2.0 ** -12)
-        rows = np.nonzero(near.any(axis=1))[0]
-        nslot = np.zeros(M, np.int32)
-        for r in rows:
-            m, c = int(am[r]), int(ac[r])
-            gg = float(dp.gain[m, c])
-            for j in np.nonzero(near[r])[0]:
-                t64 = np.trunc(_MAGS64[j] * gg)
-                t32 = np.trunc(np.float32(_MAGS64[j]) * np.float32(gg))
-                d = int(t64 - float(t32))
-                if d == 0:
-                    continue
-                # truncs of two reals within 2^-12 differ by at most 1
-                assert abs(d) == 1, "gain-trunc delta out of range"
-                for half, member in ((0, _MAG_IN_COS[j]),
-                                     (1, _MAG_IN_SIN[j])):
-                    if not member:
-                        continue
-                    k = int(nslot[m])
-                    # typical blocks need 0-2 words, but a gain within
-                    # ~2^-25 of a small rational p/q flips MANY multiples
-                    # of q at once (measured: g ~ 17/31 - 3e-9 -> 16
-                    # words; q=3 could need ~148).  Overflow degrades
-                    # gracefully: the dropped entries keep the kernel's
-                    # f32 trunc, a +-1 LSB effect on one block's dwell
-                    # samples (~95+ dB), counted in PATCH_DROPPED.
-                    if k >= _N_PATCH:
-                        dropped += 1
-                        continue
-                    patch[m, k] = float(
-                        (int(_MAGS64[j]) << 6) | (c << 2)
-                        | (half << 1) | (1 if d < 0 else 0))
-                    slot_owner.append((m, k, c))
-                    nslot[m] = k + 1
+        for ri, ji in zip(*np.nonzero(near)):
+            cand.append((int(ms[ri]), int(c), int(js[ji])))
+    # fill slots in the dense sweep's (block, channel, magnitude) order
+    # so slot assignment/overflow behavior is unchanged
+    nslot = np.zeros(M, np.int32)
+    for m, c, j in sorted(cand):
+        gg = float(dp.gain[m, c])
+        t64 = np.trunc(_MAGS64[j] * gg)
+        t32 = np.trunc(np.float32(_MAGS64[j]) * np.float32(gg))
+        d = int(t64 - float(t32))
+        if d == 0:
+            continue
+        # truncs of two reals within 2^-12 differ by at most 1
+        assert abs(d) == 1, "gain-trunc delta out of range"
+        for half, member in ((0, _MAG_IN_COS[j]),
+                             (1, _MAG_IN_SIN[j])):
+            if not member:
+                continue
+            k = int(nslot[m])
+            # typical blocks need 0-2 words, but a gain within
+            # ~2^-25 of a small rational p/q flips MANY multiples
+            # of q at once (measured: g ~ 17/31 - 3e-9 -> 16
+            # words; q=3 could need ~148).  Overflow degrades
+            # gracefully: the dropped entries keep the kernel's
+            # f32 trunc, a +-1 LSB effect on one block's dwell
+            # samples (~95+ dB), counted in PATCH_DROPPED.
+            if k >= _N_PATCH:
+                dropped += 1
+                continue
+            patch[m, k] = float(
+                (int(_MAGS64[j]) << 6) | (c << 2)
+                | (half << 1) | (1 if d < 0 else 0))
+            slot_owner.append((m, k, c))
+            nslot[m] = k + 1
     global PATCH_DROPPED
     PATCH_DROPPED += dropped
 
