@@ -41,7 +41,8 @@ from ..models.tables import ant_pat_linear
 from ..types import Ephemerides, IonoUtc
 from ..utils.hostjax import cpu_jit
 
-__all__ = ["solve_ranges", "ranges_to_params", "solve_superframe"]
+__all__ = ["solve_ranges", "solve_ranges_lean", "ranges_to_params",
+           "solve_superframe"]
 
 _ANT_PAT = np.asarray(ant_pat_linear())
 
@@ -55,6 +56,23 @@ def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
     Returns dict of arrays [n_epochs, 32]."""
     return jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
         g_secs, rx_pos)
+
+
+@cpu_jit
+def solve_ranges_lean(eph: Ephemerides, ionoutc: IonoUtc,
+                      g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+    """solve_ranges returning only what the planning path consumes
+    (range, d, azel).  Dropping "rate" from the jit outputs lets XLA
+    dead-code-eliminate the whole satpos velocity chain (ekdot/pkdot,
+    relativistic drift — the reference computes it too but comments the
+    rate term out of the pseudorange, c:1731), and "iono_delay" is
+    already folded into range — together ~25% less host solve compute
+    and two fewer [n_epochs, 32] f64 device->host conversions on the
+    pipelined stream's critical path.  Values are bit-identical to
+    solve_ranges' (DCE removes ops, it does not reassociate them)."""
+    r = jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
+        g_secs, rx_pos)
+    return {"range": r["range"], "d": r["d"], "azel": r["azel"]}
 
 
 @cpu_jit
@@ -157,8 +175,8 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
     Returns (params dict [n_blocks, C], carry dict for the next superframe).
     """
     if rho is None:
-        rho = solve_ranges(eph, ionoutc, jnp.asarray(g_secs),
-                           jnp.asarray(rx_pos))
+        rho = solve_ranges_lean(eph, ionoutc, jnp.asarray(g_secs),
+                                jnp.asarray(rx_pos))
     rng = np.asarray(rho["range"])[:, sv_idx]        # [n_epochs, C]
     d = np.asarray(rho["d"])[:, sv_idx]
     azel = np.asarray(rho["azel"])[:, sv_idx, :]

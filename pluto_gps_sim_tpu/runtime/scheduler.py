@@ -36,7 +36,7 @@ from ..ingest.rinex import RinexResult
 from ..models import lnav
 from ..models.cacode import CA_TABLE
 from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
-from ..ops.epoch import solve_ranges, solve_superframe
+from ..ops.epoch import solve_ranges_lean, solve_superframe
 from ..types import IonoUtc
 from . import scenario as scenario_mod
 from .allocator import ChannelState, allocate_channels
@@ -264,8 +264,8 @@ class Scheduler:
             total = spans[j][0] + spans[j][1] - jblk0
             ks = jblk0 + np.arange(total + 1)
             g_secs, g_weeks, rx = self._grid_arrays(ks)
-            rho = solve_ranges(self.rin.eph[spans[i][2]], self.ionoutc,
-                               g_secs, rx)
+            rho = solve_ranges_lean(self.rin.eph[spans[i][2]], self.ionoutc,
+                                    g_secs, rx)
             rho = {k: np.asarray(v) for k, v in rho.items()}
             for jb, M, _ in spans[i:j + 1]:
                 off = jb - jblk0
@@ -325,8 +325,8 @@ class Scheduler:
             n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
             ks = np.concatenate([ks, np.full(n_pad - n_real, ks[-1])])
             g_secs, _, rx = self._grid_arrays(ks)
-            rho = solve_ranges(self.rin.eph[stops[i][1]], self.ionoutc,
-                               g_secs, rx)
+            rho = solve_ranges_lean(self.rin.eph[stops[i][1]], self.ionoutc,
+                                    g_secs, rx)
             rng_all = np.asarray(rho["range"])
             azel_all = np.asarray(rho["azel"])
             for r, (jb, _) in enumerate(stops[i:j + 1]):
@@ -367,17 +367,23 @@ class Scheduler:
         st.carr_phase = np.where(act, cb, st.carr_phase)
         st.rho_anchor = np.where(act, st.rho0_range, st.rho_anchor)
         # 1. nav message refresh (shift SF5, new frame) for active channels
-        for c in range(MAX_CHAN):
-            if st.prn[c] > 0:
-                if cache is not None:
+        if cache is not None:
+            for c in range(MAX_CHAN):
+                if st.prn[c] > 0:
                     g0, dwrd = cache.nav_msg(grx, st.sbf[c], st.dwrd[c],
                                              init=False)
                     st.dwrd[c] = dwrd
-                else:
-                    g0 = lnav.generate_nav_msg(grx, st.sbf[c], st.dwrd[c],
-                                               init=False)
-                st.g0_week[c] = g0.week
-                st.g0_sec[c] = g0.sec
+                    st.g0_week[c] = g0.week
+                    st.g0_sec[c] = g0.sec
+        else:
+            idx = np.nonzero(st.prn > 0)[0]
+            if idx.size:
+                dwrd = st.dwrd[idx]
+                g0 = lnav.generate_nav_msg_batch(grx, st.sbf[idx], dwrd,
+                                                 init=False)
+                st.dwrd[idx] = dwrd
+                st.g0_week[idx] = g0.week
+                st.g0_sec[idx] = g0.sec
         # 2. ephemeris-set rollover: rebuild subframes only (takes effect
         #    at the *next* boundary's nav refresh, like the reference)
         new_ieph = scenario_mod.advance_ephemeris_set(self.rin, self.ieph, grx)

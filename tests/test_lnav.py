@@ -164,3 +164,26 @@ def test_nav_bits_feed_scheduler(fixture_paths):
         want = np.array([2 * ((w >> (29 - k)) & 1) - 1 for k in range(30)],
                         dtype=np.int8)
         assert np.array_equal(bits[iwrd], want)
+
+
+def test_nav_msg_batch_matches_scalar():
+    """The vectorized boundary refresh (scheduler's host fast path) is
+    word-for-word the scalar generate_nav_msg per channel, for both
+    init and steady-state refresh, on random subframe content."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n_ch = int(rng.integers(1, MAX_CHAN + 1))
+        sbf = (rng.integers(0, 1 << 24, size=(n_ch, 5, 10),
+                            dtype=np.uint32) << np.uint32(6))
+        g = GpsTime(int(rng.integers(1000, 3000)),
+                    float(rng.integers(0, 20000) * 30))
+        for init in (True, False):
+            d_scalar = rng.integers(0, 1 << 30, size=(n_ch, N_DWRD),
+                                    dtype=np.uint32)
+            d_batch = d_scalar.copy()
+            g0s = [lnav.generate_nav_msg(g, sbf[c], d_scalar[c], init)
+                   for c in range(n_ch)]
+            g0b = lnav.generate_nav_msg_batch(g, sbf, d_batch, init)
+            assert np.array_equal(d_scalar, d_batch)
+            assert all(g0.week == g0b.week and g0.sec == g0b.sec
+                       for g0 in g0s)
