@@ -156,7 +156,7 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
                      sv_idx: np.ndarray, active: np.ndarray,
                      g0_sec: np.ndarray, g0_week: np.ndarray,
                      rho0_range: np.ndarray,
-                     dt: float = 0.1, rho=None):
+                     dt: float = 0.1, rho=None, rho_in_slots: bool = False):
     """Full epoch solve for one superframe.
 
     g_secs/g_weeks [n_epochs]: epoch grid t_0..t_M GPS time (t_0 = anchor
@@ -171,15 +171,21 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
 
     rho: optional precomputed solve_ranges output for this exact grid
       (batched Monte-Carlo planes compute it once for all receivers).
+    rho_in_slots: the precomputed rho's satellite axis is already in
+      CHANNEL-SLOT order (solved from an sv_idx-gathered ephemeris —
+      the scheduler's plan_group fast path), so no per-channel gather
+      is applied here; columns are bit-identical either way (the solve
+      is vmapped elementwise per satellite).
 
     Returns (params dict [n_blocks, C], carry dict for the next superframe).
     """
     if rho is None:
         rho = solve_ranges_lean(eph, ionoutc, jnp.asarray(g_secs),
                                 jnp.asarray(rx_pos))
-    rng = np.asarray(rho["range"])[:, sv_idx]        # [n_epochs, C]
-    d = np.asarray(rho["d"])[:, sv_idx]
-    azel = np.asarray(rho["azel"])[:, sv_idx, :]
+    cols = slice(None) if rho_in_slots else sv_idx
+    rng = np.asarray(rho["range"])[:, cols]          # [n_epochs, C]
+    d = np.asarray(rho["d"])[:, cols]
+    azel = np.asarray(rho["azel"])[:, cols, :]
     el = azel[..., 1]
 
     # anchor override at t_0 (cross-superframe continuity)

@@ -46,6 +46,13 @@ __all__ = ["SuperframePlan", "Scheduler"]
 _BLOCK_DT = 0.1
 
 
+def _gather_eph(eph, sv_idx: np.ndarray):
+    """Ephemeris pytree gathered to the channel slots' satellites."""
+    import dataclasses
+    return type(eph)(**{f.name: np.asarray(getattr(eph, f.name))[sv_idx]
+                        for f in dataclasses.fields(eph)})
+
+
 @dataclass
 class SuperframePlan:
     """Device-ready synthesis plan for one superframe of M blocks."""
@@ -152,7 +159,7 @@ class Scheduler:
 
     # -- planning ----------------------------------------------------------
 
-    def plan(self, max_blocks: int, rho=None,
+    def plan(self, max_blocks: int, rho=None, rho_in_slots: bool = False,
              alloc_precomp: dict | None = None) -> SuperframePlan | None:
         """Plan the next superframe (up to max_blocks blocks), advance all
         host state, and run boundary updates when a 30 s boundary is hit.
@@ -177,7 +184,8 @@ class Scheduler:
         eph = self.rin.eph[self.ieph]
         params, carry = solve_superframe(
             eph, self.ionoutc, g_secs, g_weeks, rx, st.sv_idx, active,
-            g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT, rho=rho)
+            g0_sec, g0_week, st.rho0_range, dt=_BLOCK_DT, rho=rho,
+            rho_in_slots=rho_in_slots)
 
         # closed-form carrier phase: the reference's per-sample NCO
         # accumulation (c:2741-2746) telescopes over its per-epoch
@@ -255,25 +263,53 @@ class Scheduler:
                     self.rin, ieph, t_end)
 
         plans: list[SuperframePlan] = []
+        # one compiled solve shape per group size (see padding note below)
+        n_bucket = len(spans) * max_blocks + 1
         i = 0
         while i < len(spans):
             j = i                  # contiguous run on one ephemeris set
             while j + 1 < len(spans) and spans[j + 1][2] == spans[i][2]:
                 j += 1
-            jblk0 = spans[i][0]
-            total = spans[j][0] + spans[j][1] - jblk0
-            ks = jblk0 + np.arange(total + 1)
-            g_secs, g_weeks, rx = self._grid_arrays(ks)
-            rho = solve_ranges_lean(self.rin.eph[spans[i][2]], self.ionoutc,
-                                    g_secs, rx)
-            rho = {k: np.asarray(v) for k, v in rho.items()}
-            for jb, M, _ in spans[i:j + 1]:
-                off = jb - jblk0
-                rho_s = {k: v[off:off + M + 1] for k, v in rho.items()}
-                plan = self.plan(M, rho=rho_s)
-                assert plan is not None and plan.n_blocks == M, \
-                    "plan_group span simulation diverged from plan()"
-                plans.append(plan)
+            # One batched range solve per run — over the 12 CHANNEL
+            # SLOTS, not all 32 SVs: satpos is vmapped elementwise per
+            # satellite, so solving the sv_idx-gathered ephemeris gives
+            # bit-identical columns at ~2.7x less host compute (the
+            # pipelined stream is host-bound).  A boundary update
+            # inside the run can re-allocate slots; the guard re-solves
+            # the remaining spans with the new sv_idx when that happens
+            # (rise/set cadence is ~minutes, so typically 1 solve/run).
+            # Every grid is PADDED to the one n_bucket shape (repeating
+            # the last epoch; padded rows are sliced off): eph-set
+            # splits and mid-run re-solves otherwise produce
+            # odd-length grids, and each fresh length costs a ~1.4 s
+            # XLA CPU compile — measured as a 3x pipelined-rate hit the
+            # first time a stream crossed a rise/set boundary.
+            k = i
+            while k <= j:
+                jblk0 = spans[k][0]
+                total = spans[j][0] + spans[j][1] - jblk0
+                ks = jblk0 + np.arange(total + 1)
+                if total + 1 < n_bucket:
+                    ks = np.concatenate(
+                        [ks, np.full(n_bucket - (total + 1), ks[-1])])
+                g_secs, g_weeks, rx = self._grid_arrays(ks)
+                sv_idx = self.state.sv_idx.copy()
+                eph_sub = _gather_eph(self.rin.eph[spans[i][2]], sv_idx)
+                rho = solve_ranges_lean(eph_sub, self.ionoutc, g_secs, rx)
+                rho = {kk: np.asarray(v)[:total + 1]
+                       for kk, v in rho.items()}
+                while k <= j:
+                    if not np.array_equal(self.state.sv_idx, sv_idx):
+                        break      # slots changed mid-run: re-solve rest
+                    jb, M, _ = spans[k]
+                    off = jb - jblk0
+                    rho_s = {kk: v[off:off + M + 1]
+                             for kk, v in rho.items()}
+                    plan = self.plan(M, rho=rho_s, rho_in_slots=True)
+                    assert plan is not None and plan.n_blocks == M, \
+                        "plan_group span simulation diverged from plan()"
+                    plans.append(plan)
+                    k += 1
             i = j + 1
         return plans
 
