@@ -25,7 +25,13 @@ Five measurements, one JSON line:
                         240 s of signal through the multi-superframe
                         sf_map) with a device-side consumer
                         (as_device=True) — host planning of group k+1
-                        overlaps device synthesis of group k.
+                        overlaps device synthesis of group k.  May
+                        legitimately EXCEED the kernel multiple: the
+                        kernel metric clones params into inactive slots
+                        to time the full-12-channel worst case, while
+                        the pipeline synthesizes the scenario's actual
+                        visible set (~7 SVs on this fixture — exactly
+                        what the reference transmits too).
   e2e_delivered_x       same pipeline with the full int16 IQ fetched to
                         host NumPy (D2H enqueued at dispatch time so
                         delivery overlaps the next group's synthesis) —

@@ -35,7 +35,11 @@ class IqStream:
     superframes_per_dispatch=K batches K consecutive superframes into
     ONE device call (multi-superframe sf_map + per-superframe C/A
     tables), amortizing per-dispatch latency over K x 30 s of signal;
-    the yielded arrays are identical, just K superframes tall.
+    the yielded arrays are identical, just K superframes tall.  HBM
+    bounds K: the one-group-deep pipeline keeps up to TWO groups'
+    packed outputs resident (~K x 0.31 GB each at fs=2.6 MHz), so
+    K=20 exhausts a 16 GB chip; K=8 measured fastest (k-sweep in
+    STATUS.md) and leaves ample headroom.
 
     n_hosts/host_id partition a finite stream across hosts: host h
     fast-forwards the deterministic control plane to its contiguous
