@@ -418,3 +418,36 @@ def test_restore_rejects_incomplete_snapshot(rinex):
     del snap["channel_state"]["rho_anchor"]
     with pytest.raises(ValueError, match="rho_anchor"):
         s.restore(snap)
+
+
+def test_plan_group_solve_shapes_fixed(rinex):
+    """Every plan_group range solve uses the ONE padded grid shape
+    (n_superframes*max_blocks + 1), including ephemeris-set splits and
+    mid-run re-solves after a rise/set re-allocation: a fresh grid
+    length costs a ~1.4 s XLA CPU compile, which collapsed the
+    pipelined stream rate 3x the first time it crossed a rise/set
+    boundary (scheduler.py plan_group padding note)."""
+    from pluto_gps_sim_tpu.runtime import scheduler as sched_mod
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    s = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+
+    lengths = []
+    orig = sched_mod.solve_ranges_lean
+
+    def spy(eph, ionoutc, g_secs, rx):
+        lengths.append(len(g_secs))
+        return orig(eph, ionoutc, g_secs, rx)
+
+    sched_mod.solve_ranges_lean = spy
+    try:
+        sv_hist = [s.state.sv_idx.copy()]
+        for _ in range(5):                     # 40 superframes = 20 min
+            assert len(s.plan_group(8)) == 8
+            sv_hist.append(s.state.sv_idx.copy())
+    finally:
+        sched_mod.solve_ranges_lean = orig
+
+    assert len(lengths) >= 5
+    assert set(lengths) == {8 * 300 + 1}, lengths
