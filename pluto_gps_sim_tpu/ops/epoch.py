@@ -86,6 +86,19 @@ def solve_ranges_batch(eph: Ephemerides, ionoutc: IonoUtc,
         eph, ionoutc, g_secs, rx))(rx_pos)
 
 
+@cpu_jit
+def solve_ranges_batch_lean(eph: Ephemerides, ionoutc: IonoUtc,
+                            g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+    """solve_ranges_batch restricted to the planning keys (range, d,
+    azel) — same DCE rationale as solve_ranges_lean; at B=256 the
+    dropped keys alone were ~39 MB of wasted [B, n_epochs, 32] f64
+    conversion per plan round.  (The allocation precomp path keeps the
+    full solve: _init_channel reads iono_delay.)"""
+    r = jax.vmap(lambda rx: solve_ranges.__wrapped__(
+        eph, ionoutc, g_secs, rx))(rx_pos)
+    return {"range": r["range"], "d": r["d"], "azel": r["azel"]}
+
+
 def ranges_to_params(rho_range: np.ndarray, rho_d: np.ndarray,
                      rho_el: np.ndarray,
                      g_secs: np.ndarray, g_weeks: np.ndarray,

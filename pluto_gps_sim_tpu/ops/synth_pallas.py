@@ -523,13 +523,13 @@ def build_block_params(dp):
         "nav-bit index exceeds the 32-bit per-block mask"
     qidx = b0[..., None] + np.arange(32)[None, None, :]      # [M, C, 32]
     qidx = np.clip(qidx, 0, dp.bits.shape[1] - 1)
-    bitvals = np.take_along_axis(
-        np.broadcast_to(dp.bits[None], (M,) + dp.bits.shape), qidx, axis=2)
-    bit01 = (1 - bitvals.astype(np.int64)) // 2              # +1->0, -1->1
-    nbmask = np.zeros((M, C), dtype=np.int64)
-    for qb in range(32):
-        nbmask |= bit01[..., qb] << qb
-    nbmask = (nbmask & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    # bit q of the mask = nav bit at B0+q as 0/1 (+1 -> 0, -1 -> 1);
+    # packbits(little) + LE uint32 view is one C pass over [M, C, 32]
+    # (the shift-or loop it replaced was ~2x the cost of this whole
+    # function's share of the host-bound pipelined stream)
+    bit01 = dp.bits[np.arange(C)[None, :, None], qidx] < 0
+    nbmask = np.packbits(bit01, axis=2, bitorder="little") \
+        .view(np.uint32)[..., 0].view(np.int32)
 
     gain = np.where(act, dp.gain, 0.0).astype(np.float32)
 

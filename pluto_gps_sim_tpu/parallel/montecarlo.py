@@ -42,7 +42,8 @@ from ..models import orbits
 from ..models.gpstime import GpsTime
 from ..models.lnav import NavCache
 from ..ops import synth_pallas as sp
-from ..ops.epoch import solve_ranges, solve_ranges_batch
+from ..ops.epoch import (solve_ranges, solve_ranges_batch,
+                         solve_ranges_batch_lean)
 from ..ops.synth_jnp import pack_plan
 from ..runtime import scenario as scenario_mod
 from ..runtime.scheduler import Scheduler
@@ -115,7 +116,8 @@ class MonteCarloBatch:
             g_secs, _, _ = s0.epoch_grid(M)
             rx = np.stack([s.epoch_grid(M)[2] for s in self.scheds])
             eph = self.rin.eph[s0.ieph]
-            rho_b = solve_ranges_batch(eph, self.rin.ionoutc, g_secs, rx)
+            rho_b = solve_ranges_batch_lean(eph, self.rin.ionoutc,
+                                            g_secs, rx)
             # materialize ONCE: per-receiver dict slices below must be
             # plain numpy, not B x n_keys lazy device fetches
             rho_b = {k: np.asarray(v) for k, v in rho_b.items()}
