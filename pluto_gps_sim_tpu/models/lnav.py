@@ -278,6 +278,16 @@ def generate_nav_msg(g: GpsTime, sbf: np.ndarray, dwrd: np.ndarray,
 
 _PM_U32 = np.asarray(_PARITY_MASKS, dtype=np.uint32)
 
+if hasattr(np, "bitwise_count"):                   # numpy >= 2.0
+    _popcount_u32 = np.bitwise_count
+else:                                              # 16-bit-LUT fallback
+    _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                      dtype=np.uint8)
+
+    def _popcount_u32(x):
+        return (_POP16[x & np.uint32(0xFFFF)]
+                + _POP16[x >> np.uint32(16)])
+
 
 def _checksum_vec(source: np.ndarray, nib: bool) -> np.ndarray:
     """compute_checksum vectorized over channels ([C] uint32 -> [C]
@@ -290,7 +300,7 @@ def _checksum_vec(source: np.ndarray, nib: bool) -> np.ndarray:
     d30 = (source >> np.uint32(30)) & u1
 
     def par(mask_i, dx, seed):
-        return (seed + np.bitwise_count(_PM_U32[mask_i] & dx)
+        return (seed + _popcount_u32(_PM_U32[mask_i] & dx)
                 .astype(np.uint32)) & u1
 
     if nib:

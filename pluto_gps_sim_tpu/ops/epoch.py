@@ -62,14 +62,15 @@ def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
 def solve_ranges_lean(eph: Ephemerides, ionoutc: IonoUtc,
                       g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
     """solve_ranges returning only what the planning path consumes
-    (range, d, azel).  Dropping "rate" from the jit outputs lets XLA
-    dead-code-eliminate the whole satpos velocity chain (ekdot/pkdot,
-    relativistic drift — the reference computes it too but comments the
-    rate term out of the pseudorange, c:1731), and "iono_delay" is
-    already folded into range — together ~25% less host solve compute
-    and two fewer [n_epochs, 32] f64 device->host conversions on the
-    pipelined stream's critical path.  Values are bit-identical to
-    solve_ranges' (DCE removes ops, it does not reassociate them)."""
+    (range, d, azel).  The satpos velocity chain mostly stays live (the
+    transmit-time extrapolation pos - vel*tau and Sagnac correction
+    consume vel, orbits.py), so XLA only DCEs the rate dot product and
+    the clock-drift term; the real saving is the two dropped
+    [n_epochs, 32] f64 device->host conversions per call on the
+    pipelined stream's critical host path ("iono_delay" is already
+    folded into range; the reference also computes-but-drops the rate
+    term, c:1731).  Values are bit-identical to solve_ranges' (DCE
+    removes ops, it does not reassociate them)."""
     r = jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
         g_secs, rx_pos)
     return {"range": r["range"], "d": r["d"], "azel": r["azel"]}

@@ -48,9 +48,8 @@ _BLOCK_DT = 0.1
 
 def _gather_eph(eph, sv_idx: np.ndarray):
     """Ephemeris pytree gathered to the channel slots' satellites."""
-    import dataclasses
-    return type(eph)(**{f.name: np.asarray(getattr(eph, f.name))[sv_idx]
-                        for f in dataclasses.fields(eph)})
+    import jax
+    return jax.tree_util.tree_map(lambda a: np.asarray(a)[sv_idx], eph)
 
 
 @dataclass

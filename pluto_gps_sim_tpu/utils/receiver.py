@@ -479,11 +479,12 @@ def solve_velocity(eph, ionoutc, fd: dict, sol: NavSolution) -> VelSolution:
 
     h = 0.05
     dt_part = (prange(x, t + h) - prange(x, t - h)) / (2.0 * h)
+    r0 = prange(x, t)
     cols = []
     for j in range(3):
         dx = x.copy()
         dx[j] += 1.0
-        cols.append(prange(dx, t) - prange(x, t))
+        cols.append(prange(dx, t) - r0)
     jac = np.stack(cols + [np.ones(len(prns))], axis=1)
     rhs = np.array([-LAMBDA_L1 * fd[p] for p in prns]) - dt_part
     u, *_ = np.linalg.lstsq(jac, rhs, rcond=None)
