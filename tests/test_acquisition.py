@@ -113,3 +113,34 @@ def test_acquire_interleaved_flat_layout(scenario):
     b = acquire(flat, FS, prn)
     assert b.detected
     assert (a.doppler_hz, a.code_offset) == (b.doppler_hz, b.code_offset)
+
+
+def test_acquisition_at_fs5mhz():
+    """The receiver tooling is sample-rate generic: at fs=5 MHz (the
+    reference's RF-bandwidth ceiling) every planned PRN acquires at the
+    planned Doppler and code phase from one precise-path block."""
+    fs = 5_000_000.0
+    paths = ensure_fixtures()
+    rin = read_rinex2(paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+    sched = Scheduler(rin, g0, ieph, xyz, fs=fs)
+    plan = sched.plan(1)
+    iq = synth_superframe_precise(pack_plan(plan))
+
+    n_per_code = int(round(fs * 1e-3))
+    active = [c for c in range(len(plan.prn))
+              if plan.prn[c] > 0 and plan.active[0, c]]
+    assert len(active) >= 4
+    for c in active:
+        prn = int(plan.prn[c])
+        res = acquire(iq, fs, prn)
+        assert res.detected and res.peak_ratio > 2.0, f"PRN {prn}: {res}"
+        assert abs(res.doppler_hz - float(plan.f_carr[0, c])) <= 250.0
+        cp0 = float(plan.code_phase[0, c]) % CA_SEQ_LEN
+        v = float(plan.f_code[0, c]) / fs
+        n_true = ((CA_SEQ_LEN - cp0) % CA_SEQ_LEN) / v % n_per_code
+        err = abs(res.code_offset - n_true)
+        err = min(err, n_per_code - err)
+        assert err <= 3.0, f"PRN {prn}: code offset err {err:.2f} samples"

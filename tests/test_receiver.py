@@ -270,3 +270,40 @@ def test_receiver_fix_tracks_moving_receiver():
                         f"(got {v.vel}, true {v_true})"
     speed = float(np.linalg.norm(v.vel))
     assert abs(speed - np.linalg.norm(v_true)) < 0.7
+
+
+@pytest.mark.skipif(__import__("os").environ.get("RUN_SOAK") != "1",
+                    reason="long receiver run; enable with RUN_SOAK=1")
+def test_receiver_fix_across_week_rollover():
+    """A capture spanning the GPS week boundary still frame-syncs,
+    decodes, and fixes.  The simulator (like the reference, c:1832-1833)
+    transmits the un-wrapped TOW=100800 in the last HOW before the
+    boundary, so the receiver's Z-count chain stops there by design;
+    the subframes already collected must still carry a full ephemeris,
+    and the fix at an epoch before the boundary must land on the
+    receiver."""
+    from pluto_gps_sim_tpu.ingest import read_rinex2
+    from pluto_gps_sim_tpu.models.gpstime import GpsTime
+    from pluto_gps_sim_tpu.runtime import setup_scenario as _setup
+
+    paths = ensure_fixtures()
+    rin = read_rinex2(paths["rinex2"])      # fresh copy (mutated below)
+    target = GpsTime(2260, 604800.0 - 36.0)
+    g0 = _setup(rin, target, timeoverwrite=True)
+    ieph = select_ephemeris_set(rin, g0)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+
+    stream = IqStream(rin, g0, ieph, xyz, fs=FS, mode="tiled")
+    iq = np.concatenate(
+        [np.asarray(b) for b in stream.superframes(440)], axis=0)  # 44 s
+
+    sol, tracks = receive_and_fix(iq, FS, ref_week=g0.week,
+                                  measure_sample=int(round(FS)))
+    assert len(sol.prns) >= 4
+    err = float(np.linalg.norm(sol.xyz - xyz))
+    assert err < 10.0, f"week-rollover fix error {err:.1f} m"
+    # the solved epoch is 1 s into the capture, just before the boundary
+    assert abs(sol.t_rx - (g0.sec + 1.0)) < 1e-3
+    # at least one channel's first decoded subframe sits in the last
+    # frame of the week (tow in 100795..100800)
+    assert any(100795 <= tr.tow <= 100800 for tr in tracks.values())
