@@ -95,9 +95,8 @@ def solve_ranges_batch_lean(eph: Ephemerides, ionoutc: IonoUtc,
     dropped keys alone were ~39 MB of wasted [B, n_epochs, 32] f64
     conversion per plan round.  (The allocation precomp path keeps the
     full solve: _init_channel reads iono_delay.)"""
-    r = jax.vmap(lambda rx: solve_ranges.__wrapped__(
+    return jax.vmap(lambda rx: solve_ranges_lean.__wrapped__(
         eph, ionoutc, g_secs, rx))(rx_pos)
-    return {"range": r["range"], "d": r["d"], "azel": r["azel"]}
 
 
 def ranges_to_params(rho_range: np.ndarray, rho_d: np.ndarray,
