@@ -256,6 +256,25 @@ def main() -> None:
     # calls, which would inflate the slope)
     raw = [build_args(n_sf) for _ in range(7)]
 
+    # host control plane per 30 s superframe — exactly the production
+    # stages IqStream._dispatch_group runs (plan_group -> pack ->
+    # build_block_params -> param concat -> C/A tables; NOT build_args,
+    # whose 12-channel cloning is a bench-only worst-case rig).  The
+    # pipelined stream is HOST-bound, so this number sets
+    # e2e_pipelined_x; min-of-3 rejects scheduler noise on shared hosts
+    def _host_pass():
+        t0 = time.time()
+        plans = sched.plan_group(n_sf, 300)
+        dps = [pack_plan(p, tables=False) for p in plans]
+        pairs = [sp.build_block_params(d) for d in dps]
+        np.concatenate([a for a, _ in pairs], axis=0)
+        np.concatenate([b for _, b in pairs], axis=0)
+        sp.pack_ca_tables([d.ca2 for d in dps])
+        return (time.time() - t0) / len(plans)
+
+    _PARTIAL["host_ctrl_ms_per_sf"] = round(
+        min(_host_pass() for _ in range(3)) * 1000.0, 1)
+
     # pre-stage parameters on device: they are control-plane data produced
     # at 10 Hz (1 KB/block) and amortize over minutes of signal; this
     # section times the synthesis kernel, not the tunnel
@@ -450,6 +469,7 @@ def main() -> None:
                             if e2e_sustained else None),
         "e2e_pipelined_x": round(e2e_pipe / fs, 1) if e2e_pipe else None,
         "e2e_delivered_x": round(e2e_del / fs, 1) if e2e_del else None,
+        "host_ctrl_ms_per_sf": _PARTIAL.get("host_ctrl_ms_per_sf"),
     }))
 
 
