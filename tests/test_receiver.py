@@ -307,3 +307,40 @@ def test_receiver_fix_across_week_rollover():
     # at least one channel's first decoded subframe sits in the last
     # frame of the week (tow in 100795..100800)
     assert any(100795 <= tr.tow <= 100800 for tr in tracks.values())
+
+
+@pytest.mark.skipif(__import__("os").environ.get("RUN_SOAK") != "1",
+                    reason="long receiver run; enable with RUN_SOAK=1")
+def test_receiver_fixes_from_reference_iq(oracle_exe, fixture_paths,
+                                          tmp_path):
+    """The software receiver obtains a position fix from the UNMODIFIED
+    C reference's own IQ output (40 s at its fixed fs=3 MHz).  This
+    proves the receiver is simulator-agnostic — so its fixes on OUR
+    signal are an independent check, not a round trip through shared
+    assumptions — and closes the reference's original validation loop
+    (RF into a hardware receiver) entirely in software."""
+    from ref_harness import harness
+
+    fs_ref = 3_000_000.0
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    xyz = np.asarray(llh2xyz(TOKYO_LLH))
+
+    cap = str(tmp_path / "ref40.bin")
+    harness.run_oracle(oracle_exe, fixture_paths["rinex2"], cap, 400,
+                       extra_args=["-l", "35.681298,139.766247,10.0"],
+                       push_sleep_ms=60, timeout=1200.0)
+    iq = harness.load_capture(cap)            # [n_blocks, 300000, 2]
+    assert iq.shape[0] >= 395
+
+    sol, tracks = receive_and_fix(iq.reshape(-1, 2), fs_ref,
+                                  ref_week=g0.week,
+                                  measure_sample=int(round(fs_ref)))
+    assert len(sol.prns) >= 4
+    err = float(np.linalg.norm(sol.xyz - xyz))
+    assert err < 15.0, f"fix from reference IQ: error {err:.1f} m"
+    assert sol.rms_residual < 5.0
+    # Doppler velocity solve on the reference's signal: static receiver
+    v = sol.velocity
+    assert v is not None
+    assert float(np.linalg.norm(v.vel)) < 0.3, v.vel
