@@ -29,6 +29,10 @@ Intentional divergences (each documented in SURVEY.md section 5):
   * blocks are fs/10 samples so scenario time and signal time agree at
     every fs (the reference hardcodes NUM_SAMPLES=300000, c:44, which
     drifts at fs != 3 MHz);
+  * default fs is 2.6 MHz — what the reference's usage text (c:2002)
+    and README advertise and what BASELINE.json benchmarks — while the
+    reference's code actually defaults to 3 MHz (c:43, c:2271); pass
+    -s 3000000 for code-default parity;
   * new flags for the pluggable output stage (the reference can only
     transmit to a Pluto SDR): -o/--out, --sink, -d/--duration,
     --realtime, --mode, plus --snapshot/--resume checkpointing.
@@ -449,6 +453,17 @@ def _selfcheck(path: str, fs: float, planned: list[int]) -> bool:
     # acquire() uses 2 one-ms windows: 2 * n_per_code IQ pairs of int16
     n_int16 = 4 * int(round(fs * 1e-3)) + 4
     iq = np.fromfile(path, dtype=np.int16, count=n_int16)
+    # a run that planned no PRNs produced no receivable signal — that is
+    # a selfcheck FAILURE, not a vacuous pass; likewise an all-zero file
+    # (acquire() itself reports ratio 0 on silent IQ, but the energy
+    # check gives the operator a direct diagnosis)
+    if not planned:
+        print("selfcheck: FAIL (no PRNs were planned — the scenario "
+              "produced no signal)", file=sys.stderr)
+        return False
+    if not np.any(iq):
+        print("selfcheck: FAIL (output IQ is all zeros)", file=sys.stderr)
+        return False
     ok = True
     for prn in planned:
         r = acquire(iq, fs, prn)

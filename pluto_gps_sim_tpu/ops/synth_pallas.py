@@ -77,6 +77,7 @@ map), amortizing dispatch overhead across minutes of signal.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -528,8 +529,13 @@ def build_block_params(dp):
     # (the shift-or loop it replaced was ~2x the cost of this whole
     # function's share of the host-bound pipelined stream)
     bit01 = dp.bits[np.arange(C)[None, :, None], qidx] < 0
-    nbmask = np.packbits(bit01, axis=2, bitorder="little") \
-        .view(np.uint32)[..., 0].view(np.int32)
+    nb = np.packbits(bit01, axis=2, bitorder="little")     # [M, C, 4]
+    if sys.byteorder == "big":
+        # .view(uint32) assembles the 4 bytes in HOST order; packbits
+        # put bit q's byte at index q//8, which only lands in the low
+        # byte on little-endian hosts — reverse the groups first
+        nb = nb[..., ::-1]
+    nbmask = nb.view(np.uint32)[..., 0].view(np.int32)
 
     gain = np.where(act, dp.gain, 0.0).astype(np.float32)
 

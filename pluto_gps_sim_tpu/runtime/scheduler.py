@@ -262,8 +262,13 @@ class Scheduler:
                     self.rin, ieph, t_end)
 
         plans: list[SuperframePlan] = []
-        # one compiled solve shape per group size (see padding note below)
-        n_bucket = len(spans) * max_blocks + 1
+        # one compiled solve shape per REQUESTED group size, not per
+        # realized span count: a total_blocks-capped final group (end of
+        # a finite stream) has fewer spans, and deriving the bucket from
+        # len(spans) would hand that last group a fresh grid length —
+        # exactly the ~1.4 s mid-stream XLA CPU compile the padding
+        # exists to avoid (see padding note below)
+        n_bucket = n_superframes * max_blocks + 1
         i = 0
         while i < len(spans):
             j = i                  # contiguous run on one ephemeris set

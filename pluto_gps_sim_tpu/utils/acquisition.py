@@ -130,7 +130,11 @@ def acquire(iq: np.ndarray, fs: float, prn: int,
     mask[np.arange(n0 - excl, n0 + excl + 1) % n_per_code] = False
     side = float(row[mask].max()) if mask.any() else 0.0
     metric = pk / mean_p if mean_p > 0 else 0.0
-    ratio = pk / side if side > 0 else np.inf
+    # pk == 0 means the IQ is silent (all-zero samples): report ratio 0,
+    # NOT inf — otherwise a gain/mask bug that writes a silent file would
+    # "detect" every PRN and --selfcheck would pass on exactly the
+    # failure class it exists to catch
+    ratio = (pk / side) if side > 0 else (np.inf if pk > 0 else 0.0)
 
     # the peak index is the code start within ITS window; chip-0 edges
     # repeat every code period, so it is also the offset from IQ start

@@ -144,3 +144,16 @@ def test_acquisition_at_fs5mhz():
         err = abs(res.code_offset - n_true)
         err = min(err, n_per_code - err)
         assert err <= 3.0, f"PRN {prn}: code offset err {err:.2f} samples"
+
+
+def test_silent_iq_does_not_acquire():
+    """All-zero IQ (a gain/mask bug writing a silent file) must report
+    detected=False with ratio 0 for every PRN — peak and sidelobe are
+    both 0 there, and an inf ratio would make --selfcheck PASS on
+    exactly the silent-output failure class it exists to catch."""
+    fs = 2_600_000.0
+    iq = np.zeros(4 * int(round(fs * 1e-3)) + 4, dtype=np.int16)
+    for prn in (1, 7, 32):
+        res = acquire(iq, fs, prn)
+        assert not res.detected, res
+        assert res.peak_ratio == 0.0, res

@@ -451,3 +451,43 @@ def test_plan_group_solve_shapes_fixed(rinex):
 
     assert len(lengths) >= 5
     assert set(lengths) == {8 * 300 + 1}, lengths
+    # the scenario must actually exercise the guarded paths this test
+    # exists to pin at the fixed grid shape: a rise/set re-allocation
+    # happens (sv_idx changes) and it lands MID-RUN, forcing the
+    # re-solve branch (more solves than groups)
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(sv_hist, sv_hist[1:])), \
+        "scenario never re-allocated channels; re-solve branch untested"
+    assert len(lengths) > 5, \
+        "re-allocation never landed mid-run; re-solve branch untested"
+
+
+def test_plan_group_final_capped_group_keeps_grid_shape(rinex):
+    """A total_blocks-capped FINAL dispatch group (end of a finite
+    stream) has fewer spans than requested, but must still pad its
+    range-solve grid to the canonical n_superframes*max_blocks + 1
+    shape — a fresh grid length there costs the same ~1.4 s mid-stream
+    XLA CPU compile the padding exists to avoid."""
+    from pluto_gps_sim_tpu.runtime import scheduler as sched_mod
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    s = Scheduler(rinex, g0, ieph, _xyz(), fs=FS)
+
+    lengths = []
+    orig = sched_mod.solve_ranges_lean
+
+    def spy(eph, ionoutc, g_secs, rx):
+        lengths.append(len(g_secs))
+        return orig(eph, ionoutc, g_secs, rx)
+
+    sched_mod.solve_ranges_lean = spy
+    try:
+        full = s.plan_group(8)                       # steady-state group
+        capped = s.plan_group(8, total_blocks=500)   # final short group
+    finally:
+        sched_mod.solve_ranges_lean = orig
+
+    assert len(full) == 8 and len(capped) == 2
+    assert sum(p.n_blocks for p in capped) == 500
+    assert set(lengths) == {8 * 300 + 1}, lengths
