@@ -164,6 +164,13 @@ def main() -> None:
     dp_v = pack_plan(plan_v)
     golden = synth_superframe_precise(dp_v)          # [M, N, 2] int16
     prm_v = sp.build_block_params(dp_v)
+    # a dropped gain-trunc patch word on the GOLDEN scenario means the
+    # 100%-exactness claims below would silently carry +-1 LSB dwell
+    # errors — fail loudly (per-call accounting, BlockParams)
+    if prm_v.patch_dropped != 0:
+        print(json.dumps({"metric": "VERIFY_FAILED",
+                          "patch_dropped": prm_v.patch_dropped}))
+        sys.exit(1)
     ca_v = sp.pack_ca_tables([dp_v.ca2])
     with jax.enable_x64(False):
         out_v = np.asarray(sp.synth_blocks_pallas(
@@ -227,8 +234,10 @@ def main() -> None:
         plans = sched.plan_group(n_superframes, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
         pairs = [sp.build_block_params(d) for d in dps]
-        prmi = np.concatenate([a for a, _ in pairs], axis=0)
-        prmf = np.concatenate([b for _, b in pairs], axis=0)
+        _PARTIAL["patch_dropped"] = (_PARTIAL.get("patch_dropped", 0)
+                                     + sum(p.patch_dropped for p in pairs))
+        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
+        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
         # force the full 12-channel load: clone active channels' params
         # into any inactive slots (the reference's worst case, MAX_CHAN=12)
         act = np.concatenate([d.active for d in dps], axis=0)
@@ -267,8 +276,8 @@ def main() -> None:
         plans = sched.plan_group(n_sf, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
         pairs = [sp.build_block_params(d) for d in dps]
-        np.concatenate([a for a, _ in pairs], axis=0)
-        np.concatenate([b for _, b in pairs], axis=0)
+        np.concatenate([p.prmi for p in pairs], axis=0)
+        np.concatenate([p.prmf for p in pairs], axis=0)
         sp.pack_ca_tables([d.ca2 for d in dps])
         return (time.time() - t0) / len(plans)
 
@@ -470,6 +479,7 @@ def main() -> None:
         "e2e_pipelined_x": round(e2e_pipe / fs, 1) if e2e_pipe else None,
         "e2e_delivered_x": round(e2e_del / fs, 1) if e2e_del else None,
         "host_ctrl_ms_per_sf": _PARTIAL.get("host_ctrl_ms_per_sf"),
+        "patch_dropped": _PARTIAL.get("patch_dropped", 0),
     }))
 
 

@@ -433,12 +433,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if hasattr(sink, "stats"):
         stats = sink.stats()
-        if args.mode == "pallas":
-            # gain-trunc patch words dropped to the per-block slot cap
-            # (each degrades one LUT entry to the kernel's f32 trunc,
-            # a +-1 LSB effect — synth_pallas._N_PATCH); normally 0
-            from .ops import synth_pallas as _sp
-            stats["patch_dropped"] = _sp.PATCH_DROPPED
+        if stream.mode == "pallas":
+            # gain-trunc patch words THIS stream dropped to the
+            # per-block slot cap (each degrades one LUT entry to the
+            # kernel's f32 trunc, a +-1 LSB effect —
+            # synth_pallas._N_PATCH); normally 0
+            stats["patch_dropped"] = stream.patch_dropped
         print(f"sink stats: {json.dumps(stats)}", file=sys.stderr)
     return 0
 

@@ -78,6 +78,7 @@ from __future__ import annotations
 
 import functools
 import sys
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +90,8 @@ from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
 __all__ = ["synth_blocks_pallas", "build_block_params", "pack_ca_tables",
-           "unpack_iq", "choose_tile", "TILE_SAMPLES", "MAX_BLOCK_SAMPLES"]
+           "unpack_iq", "choose_tile", "BlockParams", "TILE_SAMPLES",
+           "MAX_BLOCK_SAMPLES"]
 
 # Q24 code-NCO range bound: the per-sample integer residual ramp r24*n
 # (r24 <= 4095) must stay inside int32, so blocks are capped at 524k
@@ -138,10 +140,6 @@ _F_SR12, _F_SREM, _F_CQ12, _F_RRR, _F_GAIN = 0, 12, 24, 36, 48
 #   bits [15:6] |T| magnitude, [5:2] channel, [1] half (0=I,1=Q),
 #   [0] delta sign (0 -> +1, 1 -> -1)
 _N_PATCH = 7
-# running count of patch words dropped to the per-block slot cap (gains
-# within ~2^-25 of a small rational flip many magnitudes at once; the
-# dropped entries degrade to the kernel's f32 trunc, +-1 LSB)
-PATCH_DROPPED = 0
 
 # Patch slot k's data lives in param-plane ROW 1+k (the kernel's VMEM
 # tile is 8 sublanes anyway; shipped packed in [M, 256], expanded on
@@ -469,8 +467,23 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
     return jax.jit(fn)
 
 
-def build_block_params(dp):
-    """ops.synth_jnp.DevicePlan -> packed ([M,128] i32, [M,128] f32)."""
+class BlockParams(NamedTuple):
+    """build_block_params output: the two packed parameter planes plus
+    per-call accounting.  patch_dropped counts gain-trunc patch words
+    dropped to the per-block slot cap (_N_PATCH) — each dropped word
+    leaves one LUT entry at the kernel's f32 trunc, a +-1 LSB effect on
+    that block's dwell samples.  Returned (not a module global) so
+    concurrent streams / Monte-Carlo batches / sharded hosts can each
+    attribute their own drops (IqStream.patch_dropped aggregates)."""
+
+    prmi: np.ndarray           # [M, 256] int32 parameter plane
+    prmf: np.ndarray           # [M, 256] float32 parameter plane
+    patch_dropped: int
+
+
+def build_block_params(dp) -> BlockParams:
+    """ops.synth_jnp.DevicePlan -> packed ([M,256] i32, [M,256] f32)
+    parameter planes + the call's dropped-patch count (BlockParams)."""
     # Q24 residual ramp bound: r24*n must stay inside int32
     assert dp.block_samples <= MAX_BLOCK_SAMPLES, \
         "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
@@ -597,7 +610,8 @@ def build_block_params(dp):
             # words; q=3 could need ~148).  Overflow degrades
             # gracefully: the dropped entries keep the kernel's
             # f32 trunc, a +-1 LSB effect on one block's dwell
-            # samples (~95+ dB), counted in PATCH_DROPPED.
+            # samples (~95+ dB), counted in the returned
+            # BlockParams.patch_dropped.
             if k >= _N_PATCH:
                 dropped += 1
                 continue
@@ -606,8 +620,6 @@ def build_block_params(dp):
                 | (half << 1) | (1 if d < 0 else 0))
             slot_owner.append((m, k, c))
             nslot[m] = k + 1
-    global PATCH_DROPPED
-    PATCH_DROPPED += dropped
 
     prmi = np.zeros((M, 2 * _LANES), dtype=np.int32)
     prmf = np.zeros((M, 2 * _LANES), dtype=np.float32)
@@ -635,7 +647,7 @@ def build_block_params(dp):
         for base, j in _SLOT_F.items():
             prmf[m, _LANES + _SLOT_F_W * k + j] = prmf[m, base + c]
         prmf[m, _LANES + _SLOT_F_W * k + _SLOT_WORD] = patch[m, k]
-    return prmi, prmf
+    return BlockParams(prmi, prmf, dropped)
 
 
 def unpack_iq(packed, block_samples: int | None = None) -> np.ndarray:
@@ -713,12 +725,13 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         interpret: bool = False):
     """Run the fused kernel.
 
-    prm: build_block_params output ([M,256] int plane, [M,256] float
-    plane); ca2_tables: [NS, C, 1, 128] int32; sf_map: [M] int32
+    prm: build_block_params output (BlockParams, or any sequence whose
+    first two elements are the [M,256] int and float parameter planes);
+    ca2_tables: [NS, C, 1, 128] int32; sf_map: [M] int32
     block->superframe map.
     Returns packed int32 IQ [M, n_tiles*TILE_SAMPLES]; trim each row to
     block_samples and .view(int16) for the interleaved stream."""
-    prmi, prmf = prm
+    prmi, prmf = prm[0], prm[1]
     M = prmi.shape[0]
     tile = choose_tile(block_samples)
     nt = -(-block_samples // tile)

@@ -77,6 +77,7 @@ class MonteCarloBatch:
             for b in range(self.B)]
         self.block_samples = self.scheds[0].block_samples
         self.control_seconds = 0.0   # cumulative host control-plane time
+        self.patch_dropped = 0       # this batch's dropped gain-trunc patches
 
     def _alloc_precomp(self, eph, grx: GpsTime, rx: np.ndarray):
         """Batched allocation inputs at time grx for all B receivers:
@@ -141,9 +142,10 @@ class MonteCarloBatch:
         for b in range(self.B):
             for plan in per_b[b]:
                 dp = pack_plan(plan, tables=False)  # kernel builds LUTs
-                prmi, prmf = sp.build_block_params(dp)
-                prmi_all.append(prmi)
-                prmf_all.append(prmf)
+                bp = sp.build_block_params(dp)
+                self.patch_dropped += bp.patch_dropped
+                prmi_all.append(bp.prmi)
+                prmf_all.append(bp.prmf)
                 sf_map.append(np.full(plan.n_blocks, len(ca_tabs), np.int32))
                 ca_tabs.append(dp.ca2)
         prmi = np.concatenate(prmi_all, axis=0)

@@ -153,8 +153,8 @@ def worker_body(pid: int, nproc: int) -> None:
     plans = sched_plans.sched.plan_group(2, max_blocks=4)
     dps = [pack_plan(p, tables=False) for p in plans]
     pairs = [sp.build_block_params(dp) for dp in dps]
-    prmi_r = np.concatenate([a for a, _ in pairs])
-    prmf_r = np.concatenate([b for _, b in pairs])
+    prmi_r = np.concatenate([p.prmi for p in pairs])
+    prmf_r = np.concatenate([p.prmf for p in pairs])
     ca_r = sp.pack_ca_tables([dp.ca2 for dp in dps])
     sf_r = np.concatenate([np.full(dp.n_blocks, i, np.int32)
                            for i, dp in enumerate(dps)])

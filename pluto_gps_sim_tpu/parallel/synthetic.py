@@ -53,7 +53,7 @@ def synthetic_params(n_blocks: int, block_samples: int, seed: int = 3):
         srem=np.zeros((M, C), np.float32),
         code_q12=z3, code_q24=z3, code_q36=z3, carr_u32=z3, carr_q12=z3,
     )
-    prmi, prmf = sp.build_block_params(dp)
+    prmi, prmf, _ = sp.build_block_params(dp)
     ca_tabs = sp.pack_ca_tables([dp.ca2])
     sf_map = np.zeros(M, np.int32)
     return prmi, prmf, ca_tabs, sf_map

@@ -86,6 +86,11 @@ class IqStream:
         self.mode = mode
         self.device = device
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
+        # gain-trunc patch words dropped to the per-block slot cap by
+        # THIS stream's dispatches (each leaves one LUT entry at the
+        # kernel's f32 trunc, +-1 LSB on that block's dwell samples);
+        # per-stream so concurrent streams / MC batches attribute drops
+        self.patch_dropped = 0
 
     def superframes(self, n_blocks_total: int | None,
                     max_blocks: int = 300,
@@ -261,8 +266,9 @@ class IqStream:
         from ..ops import synth_pallas as sp
 
         pairs = [sp.build_block_params(dp) for dp in dps]
-        prmi = np.concatenate([a for a, _ in pairs], axis=0)
-        prmf = np.concatenate([b for _, b in pairs], axis=0)
+        self.patch_dropped += sum(p.patch_dropped for p in pairs)
+        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
+        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
         ca_tabs = sp.pack_ca_tables([dp.ca2 for dp in dps])
         sf_map = np.concatenate(
             [np.full(dp.n_blocks, i, np.int32)

@@ -265,6 +265,7 @@ def test_pallas_gain_above_unity(fixture_paths):
 
     golden = synth_superframe_precise(dp)
     prm = sp.build_block_params(dp)
+    assert prm.patch_dropped == 0
     ca_tabs = sp.pack_ca_tables([dp.ca2])
     packed = np.asarray(sp.synth_blocks_pallas(
         prm, ca_tabs, np.zeros(1, np.int32), dp.block_samples,
@@ -301,6 +302,7 @@ def test_pallas_matches_precise(fixture_paths):
     golden = synth_superframe_precise(dp)           # [M, N, 2] int16
 
     prm = sp.build_block_params(dp)
+    assert prm.patch_dropped == 0
     ca_tabs = sp.pack_ca_tables([dp.ca2])
     sf_map = np.zeros(dp.n_blocks, np.int32)
     packed = np.asarray(sp.synth_blocks_pallas(
@@ -454,7 +456,8 @@ def test_gain_trunc_patch_exact(fixture_paths):
         gain=gain, azel=np.zeros((1, C, 2)))
     dp = pack_plan(plan)
     golden = synth_superframe_precise(dp)
-    prmi, prmf = sp.build_block_params(dp)
+    prmi, prmf, n_dropped = sp.build_block_params(dp)
+    assert n_dropped == 0
     words = np.array([prmf[0, sp.patch_word_lane(k)]
                       for k in range(sp._N_PATCH)])
     assert int((words != 0).sum()) == 2, \
@@ -488,8 +491,8 @@ def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
     """A gain within ~2^-25 of a small rational (here ~17/31) flips many
     LUT magnitudes at once — more than the per-block patch slots.
     The builder must NOT fail: it patches what fits, counts the rest in
-    PATCH_DROPPED, and the unpatched entries stay within the kernel's
-    +-1 LSB f32-trunc behavior."""
+    the returned BlockParams.patch_dropped, and the unpatched entries
+    stay within the kernel's +-1 LSB f32-trunc behavior."""
     from pluto_gps_sim_tpu.constants import MAX_CHAN
     from pluto_gps_sim_tpu.models.cacode import CA_TABLE
     from pluto_gps_sim_tpu.ops import synth_pallas as sp
@@ -527,9 +530,8 @@ def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
         carr_phase=rng.uniform(0, 1, (1, C)),
         gain=gain, azel=np.zeros((1, C, 2)))
     dp = pack_plan(plan)
-    before = sp.PATCH_DROPPED
-    prmi, prmf = sp.build_block_params(dp)
-    assert sp.PATCH_DROPPED - before == n_flip * 2 - sp._N_PATCH
+    prmi, prmf, n_dropped = sp.build_block_params(dp)
+    assert n_dropped == n_flip * 2 - sp._N_PATCH
     words = np.array([prmf[0, sp.patch_word_lane(k)]
                       for k in range(sp._N_PATCH)])
     assert int((words != 0).sum()) == sp._N_PATCH, "slots not saturated"
