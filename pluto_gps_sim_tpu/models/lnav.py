@@ -42,7 +42,7 @@ from ..types import IonoUtc
 from .gpstime import GpsTime
 
 __all__ = ["eph_to_subframes", "compute_checksum", "generate_nav_msg",
-           "generate_nav_msg_batch", "NavCache"]
+           "generate_nav_msg_batch", "NavRefresher", "NavCache"]
 
 _PARITY_MASKS = (
     0x3B1F3480, 0x1D8F9A40, 0x2EC7CD00,
@@ -359,6 +359,90 @@ def generate_nav_msg_batch(g: GpsTime, sbf: np.ndarray, dwrd: np.ndarray,
             dwrd[:, k] = _checksum_vec(w, iwrd in (1, 9))
             prev = dwrd[:, k].astype(np.uint32)
     return g0
+
+
+class NavRefresher:
+    """Steady-state (init=False) nav refresh with the frame-invariant
+    words cached — the scheduler's per-30 s hot path.
+
+    Structure exploited: the non-information-bearing-bit solve forces
+    words 2 and 10 of every subframe to end in 00 (c:786-797), so the
+    parity chain re-seeds deterministically inside each subframe:
+
+      word 1 (TLM)    prev = nib-solved word 10 LSBs = 00 -> constant
+      word 2 (HOW)    data carries TOW -> changes every frame, but its
+                      OWN solved LSBs are 00 again
+      words 3..10     chain from HOW's 00 LSBs -> constant given
+                      (subframe content, wn)
+
+    So per frame only the 5 HOW words need parity (one _checksum_vec
+    over [C] per subframe) plus the SF5 slot-0 shift; the other 45
+    words are a cached copy keyed by (sbf bytes, wn).  Word-for-word
+    identical to generate_nav_msg_batch(init=False)
+    (test_nav_refresher_matches_batch), asserted per call via the
+    nib-solve invariant."""
+
+    def __init__(self):
+        self._key = None
+        self._static = None       # [C, N_SBF, 10] uint32 (HOW slot unused)
+        self._p0 = None           # [C, N_SBF] uint32: TLM LSBs (HOW's prev)
+
+    def _build(self, sbf: np.ndarray, wn: np.uint32) -> None:
+        C = sbf.shape[0]
+        st = np.zeros((C, N_SBF, N_DWRD_SBF), np.uint32)
+        p0 = np.zeros((C, N_SBF), np.uint32)
+        for isbf in range(N_SBF):
+            # TLM's prev is the preceding subframe's nib-solved word 10,
+            # whose 2 LSBs are 00 by construction
+            prev = np.zeros(C, np.uint32)
+            for iwrd in range(N_DWRD_SBF):
+                if iwrd == 1:
+                    # HOW is frame-dependent; record TLM's LSBs for the
+                    # per-frame HOW build and re-seed the chain with
+                    # HOW's solved 00 LSBs
+                    p0[:, isbf] = prev & np.uint32(3)
+                    prev = np.zeros(C, np.uint32)
+                    continue
+                w = sbf[:, isbf, iwrd].astype(np.uint32)
+                if isbf == 0 and iwrd == 2:
+                    w |= wn
+                w |= (prev << np.uint32(30)) & np.uint32(0xC0000000)
+                st[:, isbf, iwrd] = _checksum_vec(w, iwrd == 9)
+                prev = st[:, isbf, iwrd]
+        self._static, self._p0 = st, p0
+
+    def refresh(self, g: GpsTime, sbf: np.ndarray,
+                dwrd: np.ndarray) -> GpsTime:
+        """generate_nav_msg_batch(init=False), fast path.  sbf
+        [C, N_SBF, 10] and dwrd [C, 60] uint32; mutates dwrd rows in
+        place and returns the shared g0."""
+        g0_sec = float(int(g.sec + 0.5) // 30) * 30.0
+        g0 = GpsTime(g.week, g0_sec)
+        wn = np.uint32((g0.week % 1024 & 0x3FF) << 20)
+        tow = int(g0_sec) // 6
+
+        key = (sbf.tobytes(), int(wn))
+        if key != self._key:
+            self._build(sbf, wn)
+            self._key = key
+
+        dwrd[:, :N_DWRD_SBF] = dwrd[:, N_DWRD_SBF * N_SBF:]
+        st, p0 = self._static, self._p0
+        for isbf in range(N_SBF):
+            tow += 1
+            base = (isbf + 1) * N_DWRD_SBF
+            dwrd[:, base:base + N_DWRD_SBF] = st[:, isbf]
+            w = sbf[:, isbf, 1].astype(np.uint32)
+            w |= np.uint32((tow & 0x1FFFF) << 13)
+            w |= p0[:, isbf] << np.uint32(30)
+            how = _checksum_vec(w, True)
+            # the whole cache rests on the nib solve pinning HOW's two
+            # LSBs to 00; a violation would silently corrupt the next
+            # word's chain, so check every frame (two cheap compares)
+            assert not np.any(how & np.uint32(3)), \
+                "nib solve no longer zeroes HOW's parity LSBs"
+            dwrd[:, base + 1] = how
+        return g0
 
 
 class NavCache:

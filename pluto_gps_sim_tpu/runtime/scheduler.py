@@ -107,6 +107,7 @@ class Scheduler:
         self.g_start = start
         self.jblk = 0  # global block counter: current anchor = start + 0.1*jblk
         self.state = ChannelState()
+        self._nav_refresher = lnav.NavRefresher()
 
         # initial allocation at t_0 with motion sample 0 (c:2629-2632)
         allocate_channels(self.state, rin.eph[ieph], self.ionoutc, start,
@@ -419,8 +420,9 @@ class Scheduler:
             idx = np.nonzero(st.prn > 0)[0]
             if idx.size:
                 dwrd = st.dwrd[idx]
-                g0 = lnav.generate_nav_msg_batch(grx, st.sbf[idx], dwrd,
-                                                 init=False)
+                # frame-invariant words cached by (sbf, wn): only the 5
+                # HOW words carry the frame TOW (lnav.NavRefresher)
+                g0 = self._nav_refresher.refresh(grx, st.sbf[idx], dwrd)
                 st.dwrd[idx] = dwrd
                 st.g0_week[idx] = g0.week
                 st.g0_sec[idx] = g0.sec

@@ -187,3 +187,31 @@ def test_nav_msg_batch_matches_scalar():
             assert np.array_equal(d_scalar, d_batch)
             assert all(g0.week == g0b.week and g0.sec == g0b.sec
                        for g0 in g0s)
+
+
+def test_nav_refresher_matches_batch():
+    """NavRefresher (frame-invariant words cached, only HOWs recomputed)
+    is word-for-word generate_nav_msg_batch(init=False) across many
+    boundaries, subframe-content changes (rollover) and a week-number
+    change — on dwrd chains produced by a real init (the nib-solve 00
+    LSBs the cache relies on hold for any REAL chain, not for random
+    dwrd bytes)."""
+    rng = np.random.default_rng(11)
+    n_ch = 7
+    sbf = (rng.integers(0, 1 << 24, size=(n_ch, 5, 10),
+                        dtype=np.uint32) << np.uint32(6))
+    g = GpsTime(2244, 172800.0)
+    d_ref = np.zeros((n_ch, N_DWRD), np.uint32)
+    lnav.generate_nav_msg_batch(g, sbf, d_ref, init=True)
+    d_fast = d_ref.copy()
+    refresher = lnav.NavRefresher()
+    for step in range(1, 25):
+        gs = GpsTime(g.week + (1 if step >= 20 else 0),
+                     g.sec + 30.0 * step)
+        if step == 10:       # ephemeris rollover: new subframe content
+            sbf = (rng.integers(0, 1 << 24, size=(n_ch, 5, 10),
+                                dtype=np.uint32) << np.uint32(6))
+        g0b = lnav.generate_nav_msg_batch(gs, sbf, d_ref, init=False)
+        g0f = refresher.refresh(gs, sbf, d_fast)
+        assert np.array_equal(d_ref, d_fast), f"diverged at step {step}"
+        assert g0b.week == g0f.week and g0b.sec == g0f.sec
