@@ -12,6 +12,9 @@ just re-planning from the saved host state — the checkpoint is a few KB.
 
 from __future__ import annotations
 
+import collections
+import queue as _queue
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -98,13 +101,24 @@ class IqStream:
         """Yield superframes covering n_blocks_total 0.1 s blocks
         (None = endless).
 
-        The loop is software-pipelined one superframe deep: superframe
-        k+1 is planned on the host and dispatched to the device before
-        superframe k's result is fetched, so host control plane, device
-        synthesis, and D2H transfer overlap (the reference's equivalent
-        is the producer/TX double buffer, c:2689-2759).  snapshot()
-        during iteration returns the resume point right after the last
-        *yielded* superframe, not the dispatched-ahead scheduler state.
+        The loop is software-pipelined TWO dispatch groups deep with
+        all host planning on a background thread: the planner plans,
+        packs, and dispatches group k+2 while group k+1 synthesizes on
+        the device and group k is consumed by the caller — so host
+        control plane, device synthesis, per-call transport latency,
+        and D2H transfer all overlap (the reference's equivalent is the
+        producer/TX double buffer, c:2689-2759, which overlaps exactly
+        one buffer).  The host work is numpy/CPU-jax, which releases
+        the GIL, and the dispatch-side waits are tunnel/PCIe I/O — both
+        overlap the consumer even on a single-core host.  HBM bounds
+        the depth: up to THREE groups' packed outputs are resident at
+        once (consumed + queued + dispatching, ~K x 0.31 GB each), so
+        keep superframes_per_dispatch <= ~12 on a 16 GB chip.
+
+        snapshot() during iteration returns the resume point right
+        after the last *yielded* superframe, not the planned-ahead
+        scheduler state; abandoning the generator rolls the scheduler
+        back to exactly after the last yielded superframe.
 
         as_device=True yields the raw device output instead of host
         int16 [M, N, 2] — for the pallas path, packed int32 IQ
@@ -126,52 +140,103 @@ class IqStream:
             remaining = hi - lo
         else:
             remaining = n_blocks_total
-        pending = None  # (handle, snap before its plan, snap after)
-        nxt = None
-        try:
-            while True:
-                nxt = None
-                if remaining is None or remaining > 0:
-                    before = self._state_snapshot()
+
+        # maxsize=1 + the item the planner is blocked putting = two
+        # dispatched groups ahead of the consumer (see HBM note above)
+        q: _queue.Queue = _queue.Queue(maxsize=1)
+        stop = threading.Event()
+        lock = threading.Lock()
+        # before-planning snapshots of every group not yet yielded, in
+        # plan order — [0] is the rollback point if the generator is
+        # abandoned (covers queued, dispatching, and mid-plan groups)
+        unyielded: collections.deque = collections.deque()
+
+        def _put(item) -> None:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return
+                except _queue.Full:
+                    continue
+
+        def _planner() -> None:
+            rem = remaining
+            try:
+                while not stop.is_set():
+                    if rem is not None and rem <= 0:
+                        break
+                    with lock:
+                        unyielded.append(self._state_snapshot())
                     k = self.superframes_per_dispatch
                     if k > 1:
                         plans = self.sched.plan_group(
-                            k, max_blocks, total_blocks=remaining)
+                            k, max_blocks, total_blocks=rem)
                     else:
-                        todo = max_blocks if remaining is None else \
-                            min(remaining, max_blocks)
+                        todo = max_blocks if rem is None else \
+                            min(rem, max_blocks)
                         plan = self.sched.plan(todo)
                         plans = [] if plan is None else [plan]
-                    if plans:
-                        if remaining is not None:
-                            remaining -= sum(p.n_blocks for p in plans)
-                        handle = self._dispatch_group(plans)
-                        if not as_device:
-                            # enqueue the D2H now so delivery overlaps
-                            # the next group's synthesis (the reference's
-                            # memcpy-under-mutex handoff, c:2147-2150,
-                            # serializes here instead)
-                            self._start_fetch(handle)
-                        nxt = (handle, before, self._state_snapshot())
-                if pending is not None:
-                    handle, _, snap_after = pending
-                    out = (self._device_view(handle) if as_device
-                           else self._finish(handle))
-                    pending = None
-                    self._yield_snap = snap_after
-                    yield out  # abandonment suspends HERE, with nxt live
-                if nxt is None:
+                    if not plans:
+                        with lock:
+                            unyielded.pop()
+                        break
+                    if rem is not None:
+                        rem -= sum(p.n_blocks for p in plans)
+                    prep = self._prepare_group(plans)   # host-only work
+                    after = self._state_snapshot()
+                    handle = self._dispatch_prepared(prep)
+                    if not as_device:
+                        # enqueue the D2H now so delivery overlaps the
+                        # next group's synthesis (the reference's
+                        # memcpy-under-mutex handoff, c:2147-2150,
+                        # serializes here instead)
+                        self._start_fetch(handle)
+                    _put(("ok", handle, after))
+            except BaseException as e:        # surfaced at the consumer
+                _put(("err", e))
+                return
+            _put(None)
+
+        # resume point before anything is yielded = the iteration start
+        # (snapshot() must not read live scheduler state once the
+        # planner owns it)
+        self._yield_snap = self._state_snapshot()
+        self._planner_alive = True
+        t = threading.Thread(target=_planner, name="iqstream-planner",
+                             daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
                     return
-                pending = nxt
+                if item[0] == "err":
+                    raise item[1]
+                _, handle, snap_after = item
+                out = (self._device_view(handle) if as_device
+                       else self._finish(handle))
+                with lock:
+                    unyielded.popleft()
+                self._yield_snap = snap_after
+                yield out      # abandonment suspends HERE
         finally:
-            unyielded = pending if pending is not None else nxt
-            if unyielded is not None:
-                # the generator was abandoned with a superframe planned
-                # and dispatched but never yielded: roll the scheduler
-                # back so a later superframes()/generate() call resumes
-                # exactly after the last DELIVERED superframe instead of
-                # silently skipping up to 30 s of signal
-                self.restore(unyielded[1])
+            stop.set()
+            # unblock a planner stuck in put(), then wait it out before
+            # touching scheduler state
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
+            t.join()
+            self._planner_alive = False
+            if unyielded:
+                # groups were planned (and possibly dispatched) but
+                # never yielded: roll the scheduler back so a later
+                # superframes()/generate() call resumes exactly after
+                # the last DELIVERED superframe instead of silently
+                # skipping signal
+                self.restore(unyielded[0])
 
     def generate(self, n_blocks_total: int) -> np.ndarray:
         """Generate the whole scenario into one array [blocks, N, 2]."""
@@ -189,20 +254,49 @@ class IqStream:
 
     # -- dispatch / fetch ------------------------------------------------
 
-    def _dispatch_group(self, plans: list):
-        """Dispatch one or more consecutive superframe plans as ONE
-        device call (pallas: multi-superframe sf_map + per-superframe
-        C/A tables, exactly the batching the kernel was built for —
-        synth_pallas.py module docstring), so the per-dispatch flat cost
-        amortizes over superframes_per_dispatch x 30 s of signal."""
-        if len(plans) == 1:
-            return self._dispatch(self._pack(plans[0]))
-        if self.mode == "pallas":
-            dps = [self._pack(p) for p in plans]
-            return ("packed", self._dispatch_pallas_multi(dps), dps[0])
+    def _prepare_group(self, plans: list):
+        """ALL host-side packing for one dispatch group (runs on the
+        planner thread): plan -> DevicePlan pack, and for the pallas
+        path the kernel parameter planes, C/A bit tables, and
+        block->superframe map.  No device calls here — the split from
+        _dispatch_prepared is what lets planning overlap synthesis."""
+        if self.mode != "pallas":
+            return ("plain", [self._pack(p) for p in plans])
+        from ..ops import synth_pallas as sp
+
+        dps = [self._pack(p) for p in plans]
+        pairs = [sp.build_block_params(dp) for dp in dps]
+        self.patch_dropped += sum(p.patch_dropped for p in pairs)
+        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
+        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
+        ca_tabs = sp.pack_ca_tables([dp.ca2 for dp in dps])
+        sf_map = np.concatenate(
+            [np.full(dp.n_blocks, i, np.int32)
+             for i, dp in enumerate(dps)])
+        return ("pallas", dps[0], prmi, prmf, ca_tabs, sf_map)
+
+    def _dispatch_prepared(self, prep):
+        """Start the device work for a prepared group; returns the
+        opaque handle _finish/_device_view consume."""
+        if prep[0] == "pallas":
+            _, dp0, prmi, prmf, ca_tabs, sf_map = prep
+            out = self._launch_pallas(prmi, prmf, ca_tabs, sf_map,
+                                      dp0.block_samples)
+            return ("packed", out, dp0)
+        dps = prep[1]
+        if len(dps) == 1:
+            return self._dispatch(dps[0])
         # tiled/precise: per-plan dispatches, one concatenated yield
-        return ("multi", [self._dispatch(self._pack(p)) for p in plans],
-                None)
+        return ("multi", [self._dispatch(d) for d in dps], None)
+
+    def _dispatch_group(self, plans: list):
+        """Prepare + dispatch one or more consecutive superframe plans
+        as ONE device call (pallas: multi-superframe sf_map +
+        per-superframe C/A tables, exactly the batching the kernel was
+        built for — synth_pallas.py module docstring), so the
+        per-dispatch flat cost amortizes over superframes_per_dispatch
+        x 30 s of signal."""
+        return self._dispatch_prepared(self._prepare_group(plans))
 
     def _device_view(self, handle):
         """The raw (device-resident) output behind a dispatch handle, as
@@ -234,8 +328,6 @@ class IqStream:
         (an asynchronously-computing device array + unpack recipe)."""
         if self.mode == "precise":
             return ("np", synth_superframe_precise(dp), dp)
-        if self.mode == "pallas":
-            return ("packed", self._dispatch_pallas(dp), dp)
         return ("jax", synth_superframe_tiled_async(dp, device=self.device),
                 dp)
 
@@ -253,28 +345,18 @@ class IqStream:
     def _pack(self, plan) -> DevicePlan:
         return pack_plan(plan, tables=self.mode != "pallas")
 
-    def _dispatch_pallas(self, dp: DevicePlan):
-        return self._dispatch_pallas_multi([dp])
-
-    def _dispatch_pallas_multi(self, dps: list):
+    def _launch_pallas(self, prmi, prmf, ca_tabs, sf_map,
+                       block_samples: int):
         """The fused TPU kernel — single device, or sharded over a
         ("time", "chan") mesh with the channel psum riding ICI.  Multiple
         superframes batch into one call through the block->superframe
-        map and per-superframe C/A tables."""
+        map and per-superframe C/A tables (inputs come packed from
+        _prepare_group, which runs on the planner thread)."""
         import jax
 
         from ..ops import synth_pallas as sp
 
-        pairs = [sp.build_block_params(dp) for dp in dps]
-        self.patch_dropped += sum(p.patch_dropped for p in pairs)
-        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
-        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
-        ca_tabs = sp.pack_ca_tables([dp.ca2 for dp in dps])
-        sf_map = np.concatenate(
-            [np.full(dp.n_blocks, i, np.int32)
-             for i, dp in enumerate(dps)])
         n_total = int(sf_map.size)
-        block_samples = dps[0].block_samples
         if self.mesh is not None:
             from ..parallel import (pad_time_shards, shard_channel_params,
                                     synth_sharded)
@@ -307,10 +389,13 @@ class IqStream:
         """Host state capsule; everything device-side is derived.
 
         During superframes() iteration this is the resume point after
-        the last yielded superframe (the scheduler itself runs one
-        superframe ahead, see superframes())."""
+        the last yielded superframe (the planner thread runs up to two
+        dispatch groups ahead, see superframes()); while the planner is
+        alive the live scheduler state is ITS working state and is
+        never read here (the frozen per-yield capsule is)."""
         snap = getattr(self, "_yield_snap", None)
-        if snap is not None and snap["jblk"] != self.sched.jblk:
+        if snap is not None and (getattr(self, "_planner_alive", False)
+                                 or snap["jblk"] != self.sched.jblk):
             return {"jblk": snap["jblk"], "ieph": snap["ieph"],
                     "channel_state": {k: np.copy(v) for k, v in
                                       snap["channel_state"].items()}}
