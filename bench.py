@@ -233,9 +233,14 @@ def main() -> None:
         # eph-set run of superframes, as IqStream dispatch groups use)
         plans = sched.plan_group(n_superframes, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
+        # attribute drops to the timing rig, not the golden verify gates
+        # (which exit(1) on any drop): deep-scenario superframes here may
+        # legitimately hit near-rational gains that overflow the 7 patch
+        # slots on a block (+-1 LSB on that block's dwell, documented)
         pairs = [sp.build_block_params(d) for d in dps]
-        _PARTIAL["patch_dropped"] = (_PARTIAL.get("patch_dropped", 0)
-                                     + sum(p.patch_dropped for p in pairs))
+        _PARTIAL["patch_dropped_rig"] = (_PARTIAL.get("patch_dropped_rig", 0)
+                                         + sum(p.patch_dropped
+                                               for p in pairs))
         prmi = np.concatenate([p.prmi for p in pairs], axis=0)
         prmf = np.concatenate([p.prmf for p in pairs], axis=0)
         # force the full 12-channel load: clone active channels' params
@@ -417,6 +422,8 @@ def main() -> None:
             done += sf.shape[0]
         dt = time.time() - t0
         assert done == n_blocks
+        _PARTIAL["patch_dropped_stream"] = (
+            _PARTIAL.get("patch_dropped_stream", 0) + stream.patch_dropped)
         return n_blocks * block_samples / dt
 
     e2e_del = _metric(lambda: (e2e_delivered_once(300),   # compile-warm
@@ -448,22 +455,28 @@ def main() -> None:
         s = sum(int(np.asarray(x)) for x in sums)
         dt = time.time() - t0
         assert done == n_blocks and s != 0
+        _PARTIAL["patch_dropped_stream"] = (
+            _PARTIAL.get("patch_dropped_stream", 0) + stream.patch_dropped)
         return n_blocks * block_samples / dt
 
     def _pipe():
-        # reps are 12000 blocks = 40 superframes = five uniform
-        # 8-superframe dispatch groups, so (a) the only compiled group
-        # shape is the 2400-block one the warm run covers, and (b) the
-        # pipeline-fill cost (the first group's ~0.1 s host plan has no
-        # device work to hide under) amortizes over 5 groups — the
-        # steady-state rate is the production quantity (the reference
-        # runs for hours, c:2655)
-        e2e_pipelined(2400)
-        # each rep starts a different number of superframes into the
-        # scenario: same shapes (compile cache hits), different bytes
-        # (no tunnel-level call caching can inflate the timing)
-        return float(np.median(
-            [e2e_pipelined(12000, skip_sf=1 + r) for r in range(3)]))
+        # Warm run: 4500 blocks = ramp groups of 1+2+4 superframes plus
+        # one FULL 2400-block 8-superframe group, so every compiled
+        # group shape (kernel n_sf 1/2/4/8 and the matching host solve
+        # grids) is built outside the timed reps.  Reps are 24000
+        # blocks (2400 s of signal): the pipeline-fill cost — already
+        # cut ~5x by the dispatch ramp — amortizes over ~12 groups, so
+        # the figure is the steady-state production rate (the
+        # reference runs for hours, c:2655).  Each rep starts a
+        # different number of superframes into the scenario: same
+        # shapes (compile cache hits), different bytes (no tunnel-level
+        # call caching can inflate the timing).  The in-run spread is
+        # recorded in the JSON: captured full-bench runs vary 1124-
+        # 1615x across tunnel hours on an identical tree.
+        e2e_pipelined(4500)
+        runs = [e2e_pipelined(24000, skip_sf=1 + r) for r in range(5)]
+        _PARTIAL["e2e_pipelined_runs"] = [round(r / fs, 1) for r in runs]
+        return float(np.median(runs))
 
     e2e_pipe = _metric(_pipe)
 
@@ -477,9 +490,14 @@ def main() -> None:
         "e2e_sustained_x": (round(e2e_sustained / fs, 1)
                             if e2e_sustained else None),
         "e2e_pipelined_x": round(e2e_pipe / fs, 1) if e2e_pipe else None,
+        "e2e_pipelined_runs": _PARTIAL.get("e2e_pipelined_runs"),
         "e2e_delivered_x": round(e2e_del / fs, 1) if e2e_del else None,
         "host_ctrl_ms_per_sf": _PARTIAL.get("host_ctrl_ms_per_sf"),
-        "patch_dropped": _PARTIAL.get("patch_dropped", 0),
+        # golden-scenario drops are 0 by construction here (the verify
+        # gates exit(1) otherwise); _stream counts the production
+        # IqStream timing runs, _rig the 12-channel-clone worst-case rig
+        "patch_dropped_stream": _PARTIAL.get("patch_dropped_stream", 0),
+        "patch_dropped_rig": _PARTIAL.get("patch_dropped_rig", 0),
     }))
 
 

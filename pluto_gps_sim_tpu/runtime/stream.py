@@ -38,7 +38,9 @@ class IqStream:
     superframes_per_dispatch=K batches K consecutive superframes into
     ONE device call (multi-superframe sf_map + per-superframe C/A
     tables), amortizing per-dispatch latency over K x 30 s of signal;
-    the yielded arrays are identical, just K superframes tall.  HBM
+    the yielded arrays are identical, just K superframes tall (the
+    first few groups ramp 1, 2, 4, ... so a cold pipeline delivers its
+    first samples ~5x sooner — dispatch_ramp()).  HBM
     bounds K: the one-group-deep pipeline keeps up to TWO groups'
     packed outputs resident (~K x 0.31 GB each at fs=2.6 MHz), so
     K=20 exhausts a 16 GB chip; K=8 measured fastest (k-sweep in
@@ -94,6 +96,23 @@ class IqStream:
         # kernel's f32 trunc, +-1 LSB on that block's dwell samples);
         # per-stream so concurrent streams / MC batches attribute drops
         self.patch_dropped = 0
+
+    @staticmethod
+    def dispatch_ramp(k: int) -> Iterator[int]:
+        """Dispatch-group sizes for superframes_per_dispatch=k: 1, 2,
+        4, ..., then k forever.  A cold pipeline has nothing to hide
+        host planning or device synthesis under, so the first full-k
+        group exposes its whole plan+synthesize latency (~0.25 s at
+        k=8/2.6 MHz) before the first sample emerges; ramping doubles
+        the group size as the pipeline fills, cutting time-to-first-
+        sample ~5x while steady state is unchanged.  Deterministic and
+        public so shadow streams / A-B tests can mirror the grouping."""
+        s = 1
+        while s < k:
+            yield s
+            s *= 2
+        while True:
+            yield k
 
     def superframes(self, n_blocks_total: int | None,
                     max_blocks: int = 300,
@@ -161,14 +180,15 @@ class IqStream:
 
         def _planner() -> None:
             rem = remaining
+            ramp = self.dispatch_ramp(self.superframes_per_dispatch)
             try:
                 while not stop.is_set():
                     if rem is not None and rem <= 0:
                         break
                     with lock:
                         unyielded.append(self._state_snapshot())
-                    k = self.superframes_per_dispatch
-                    if k > 1:
+                    k = next(ramp)
+                    if self.superframes_per_dispatch > 1:
                         plans = self.sched.plan_group(
                             k, max_blocks, total_blocks=rem)
                     else:

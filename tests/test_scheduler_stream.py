@@ -291,7 +291,8 @@ def test_batched_dispatch_identical(rinex):
     s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="tiled",
                  block_samples=16384, superframes_per_dispatch=3)
     parts = list(s.superframes(20, max_blocks=6))
-    assert len(parts) == 2 and parts[0].shape[0] == 18  # 3 x 6 then 2
+    # dispatch_ramp(3): groups of 1, 2, then 3 superframes (capped)
+    assert [p.shape[0] for p in parts] == [6, 12, 2]
     assert np.array_equal(np.concatenate(parts, axis=0), a)
 
 
