@@ -20,18 +20,22 @@ Five measurements, one JSON line:
                         latency cancels, leaving the per-signal-second
                         cost a directly attached host would sustain.
   e2e_pipelined_x       the actual production runtime path: IqStream's
-                        one-group-deep software pipeline at
+                        two-deep software pipeline (planner thread) at
                         superframes_per_dispatch=8 (one kernel call per
                         240 s of signal through the multi-superframe
                         sf_map) with a device-side consumer
-                        (as_device=True) — host planning of group k+1
-                        overlaps device synthesis of group k.  May
-                        legitimately EXCEED the kernel multiple: the
-                        kernel metric clones params into inactive slots
-                        to time the full-12-channel worst case, while
-                        the pipeline synthesizes the scenario's actual
-                        visible set (~7 SVs on this fixture — exactly
-                        what the reference transmits too).
+                        (as_device=True) that reduces and synchronizes
+                        per group — host planning of groups k+1/k+2
+                        overlaps device synthesis of group k.  Measured
+                        in a FRESH SUBPROCESS (_pipelined_child: the
+                        tunnel client degrades with cumulative
+                        in-process traffic).  May legitimately EXCEED
+                        the kernel multiple: the kernel metric clones
+                        params into inactive slots to time the
+                        full-12-channel worst case, while the pipeline
+                        synthesizes the scenario's actual visible set
+                        (~7 SVs on this fixture — exactly what the
+                        reference transmits too).
   e2e_delivered_x       same pipeline with the full int16 IQ fetched to
                         host NumPy (D2H enqueued at dispatch time so
                         delivery overlaps the next group's synthesis) —
@@ -113,7 +117,101 @@ def _arm_deadline(seconds: float) -> None:
     t.start()
 
 
+def _pipelined_child() -> None:
+    """The e2e_pipelined measurement, run in a fresh process (spawned by
+    main(); the parent's rig phases degrade the tunnel client's
+    dispatch throughput — see the e2e_pipelined comment in main()).
+
+    The real runtime path: IqStream.superframes() plans and dispatches
+    up to two groups ahead on the planner thread while the consumer
+    drains, so host control plane, device synthesis, and transport all
+    overlap.  superframes_per_dispatch=8 batches 240 s of signal per
+    kernel call (the multi-superframe sf_map the kernel was built for).
+    The consumer reduces each group ON DEVICE and fetches the 8 B sums
+    synchronously with ONE group of lag (fetch group k-1's sum after
+    dispatching group k's reduction, drain fully at the end) — a
+    device-resident downstream stage's natural pipelining.  The rate
+    counts every group's synthesis to completion and live outputs stay
+    bounded at ~4 x 2.6 GB.  Lag-0 (fetch each group before taking the
+    next) serializes this harness's ~40 ms flat tunnel roundtrip into
+    every group (measured -8%: 1549-1619x vs 1775-1806x; attached
+    hosts have us-scale roundtrips).  An async-drain consumer (fetch
+    all sums at the end) is WRONG in the other direction: dispatch
+    runs decoupled from the device, dozens of 2.6 GB outputs pile into
+    HBM, and the figure turns into allocator-stall noise (measured
+    246-1700x on identical trees).
+
+    Warm run: 4500 blocks = ramp groups of 1+2+4 superframes plus one
+    FULL 2400-block 8-superframe group, so every compiled group shape
+    (kernel n_sf 1/2/4/8 and the matching host solve grids) is built
+    outside the timed reps.  Reps are 24000 blocks (2400 s of signal):
+    the pipeline-fill cost — already cut ~5x by the dispatch ramp —
+    amortizes over ~12 groups, so the figure is the steady-state
+    production rate (the reference runs for hours, c:2655).  Each rep
+    starts a different number of superframes into the scenario: same
+    shapes (compile cache hits), different bytes (no tunnel-level call
+    caching can inflate the timing)."""
+    sys.path.insert(0, "tests")
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import jax.numpy as jnp
+
+    from fixtures import ensure_fixtures
+    from pluto_gps_sim_tpu.ingest import read_rinex2
+    from pluto_gps_sim_tpu.models.geodesy import llh2xyz
+    from pluto_gps_sim_tpu.runtime import (
+        select_ephemeris_set, setup_scenario)
+    from pluto_gps_sim_tpu.runtime.stream import IqStream
+
+    paths = ensure_fixtures()
+    fs = 2_600_000.0
+    rin = read_rinex2(paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    llh = np.array([35.681298, 139.766247, 10.0])
+    llh = llh * np.array([1 / 57.2957795131, 1 / 57.2957795131, 1.0])
+    xyz = np.asarray(llh2xyz(llh))
+    tpu = [d for d in jax.devices() if d.platform == "tpu"][0]
+    csum = jax.jit(lambda o: jnp.sum(o), device=tpu)
+    block_samples = int(round(fs / 10.0))
+    k_sf = int(os.environ.get("BENCH_PIPE_K", "8"))
+    dropped = 0
+
+    def run(n_blocks, skip_sf=0):
+        nonlocal dropped
+        import collections
+        stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
+                          device=tpu, superframes_per_dispatch=k_sf)
+        if skip_sf:
+            stream.fast_forward(300 * skip_sf)
+        t0 = time.time()
+        done = total = 0
+        pending: collections.deque = collections.deque()
+        for dev_out in stream.superframes(n_blocks, as_device=True):
+            pending.append(csum(dev_out))
+            while len(pending) > 1:              # lag-1 sync (see above)
+                total += int(np.asarray(pending.popleft()))
+            done += dev_out.shape[0]
+        while pending:
+            total += int(np.asarray(pending.popleft()))
+        dt = time.time() - t0
+        assert done == n_blocks and total != 0
+        dropped += stream.patch_dropped
+        return n_blocks * block_samples / dt / fs
+
+    # warm every ramp shape incl. one full k_sf-superframe group
+    run((2 ** (k_sf - 1).bit_length() - 1 + k_sf) * 300)
+    runs = [run(24000, skip_sf=1 + r) for r in range(5)]
+    print(json.dumps({"median": float(np.median(runs)),
+                      "runs": [round(r, 1) for r in runs],
+                      "patch_dropped": dropped}), flush=True)
+
+
 def main() -> None:
+    if "--pipelined-child" in sys.argv:
+        _pipelined_child()
+        return
     sys.path.insert(0, "tests")
     if not _probe_tpu():
         print(json.dumps({
@@ -431,52 +529,29 @@ def main() -> None:
     _PARTIAL["e2e_delivered_x"] = round(e2e_del / fs, 1) if e2e_del else None
 
     # ---- production pipelined e2e (IqStream, device-side consumer) --------
-    # The real runtime path: superframes() plans and dispatches group k+1
-    # while k is being consumed, so host control plane and device
-    # synthesis overlap.  superframes_per_dispatch=8 batches 240 s of
-    # signal per kernel call (the multi-superframe sf_map the kernel was
-    # built for), so per-dispatch flat latency amortizes (measured
-    # k-sweep on the chip: k=2 910x, k=4 1356x, k=8 1371x, k=12 1184x);
-    # the consumer reduces on device (as_device=True) and fetches the
-    # 8 B sums once at the end — a device-resident downstream stage's
-    # behavior.  (The CLI default stays k=1: a live SDR consumer wants
-    # 30 s chunks, a throughput consumer passes --dispatch-superframes.)
-    def e2e_pipelined(n_blocks, k_sf=8, skip_sf=0):
-        stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
-                          device=tpu, superframes_per_dispatch=k_sf)
-        if skip_sf:
-            stream.fast_forward(300 * skip_sf)   # distinct content per rep
-        t0 = time.time()
-        done = 0
-        sums = []
-        for dev_out in stream.superframes(n_blocks, as_device=True):
-            sums.append(csum(dev_out))
-            done += dev_out.shape[0]
-        s = sum(int(np.asarray(x)) for x in sums)
-        dt = time.time() - t0
-        assert done == n_blocks and s != 0
-        _PARTIAL["patch_dropped_stream"] = (
-            _PARTIAL.get("patch_dropped_stream", 0) + stream.patch_dropped)
-        return n_blocks * block_samples / dt
-
+    # Measured in a FRESH SUBPROCESS (see _pipelined_child): the axon
+    # tunnel client's dispatch throughput degrades with cumulative
+    # in-process device traffic (measured on one chip/hour: fresh
+    # process 1475-1696x; the same measurement after this bench's rig
+    # phases 246-478x; an 8-minute IDLE control shows no decay, so it
+    # is traffic-, not time-, keyed — a harness artifact a directly
+    # attached PJRT host does not have).  Production runs one
+    # long-lived stream per process, which shows no within-stream decay
+    # over 200k+ blocks, so the fresh-process figure is the honest one.
     def _pipe():
-        # Warm run: 4500 blocks = ramp groups of 1+2+4 superframes plus
-        # one FULL 2400-block 8-superframe group, so every compiled
-        # group shape (kernel n_sf 1/2/4/8 and the matching host solve
-        # grids) is built outside the timed reps.  Reps are 24000
-        # blocks (2400 s of signal): the pipeline-fill cost — already
-        # cut ~5x by the dispatch ramp — amortizes over ~12 groups, so
-        # the figure is the steady-state production rate (the
-        # reference runs for hours, c:2655).  Each rep starts a
-        # different number of superframes into the scenario: same
-        # shapes (compile cache hits), different bytes (no tunnel-level
-        # call caching can inflate the timing).  The in-run spread is
-        # recorded in the JSON: captured full-bench runs vary 1124-
-        # 1615x across tunnel hours on an identical tree.
-        e2e_pipelined(4500)
-        runs = [e2e_pipelined(24000, skip_sf=1 + r) for r in range(5)]
-        _PARTIAL["e2e_pipelined_runs"] = [round(r / fs, 1) for r in runs]
-        return float(np.median(runs))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--pipelined-child"],
+            capture_output=True, timeout=900, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        child = json.loads(line)
+        _PARTIAL["e2e_pipelined_runs"] = child["runs"]
+        _PARTIAL["patch_dropped_stream"] = (
+            _PARTIAL.get("patch_dropped_stream", 0)
+            + child["patch_dropped"])
+        return child["median"] * fs
 
     e2e_pipe = _metric(_pipe)
 

@@ -544,3 +544,53 @@ def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
                     (packed >> 16).astype(np.int16)], axis=-1)
     err = np.abs(got.astype(np.int64) - golden.astype(np.int64))
     assert int(err.max()) <= 1, "overflow degradation exceeded 1 LSB"
+
+
+def test_patch_prefilter_matches_dense_sweep_on_real_scenario(fixture_paths):
+    """The interval+f32 prefilter in build_block_params must find EXACTLY
+    the gain-trunc mismatches a dense f64-vs-f32 sweep over every
+    (block, channel, magnitude) triple finds — including the drop count
+    when a block's demand overflows the patch slots.  Pinned on a real
+    scenario superframe that actually drops (bench's deep-scenario
+    streams report nonzero patch_dropped_stream; a captured run showed
+    one block demanding 8 words with 7 slots, caused by gains like
+    ~37/62 + ~9/10 dwelling together), so both the candidate set AND
+    the overflow accounting are checked against ground truth."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
+    from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+
+    rin = read_rinex2(fixture_paths["rinex2"])
+    g0 = setup_scenario(rin, None)
+    ieph = select_ephemeris_set(rin, g0)
+    sched = Scheduler(rin, g0, ieph, np.asarray(llh2xyz(TOKYO_LLH)),
+                      fs=2_600_000.0)
+    sched.skip(300)                    # the bench child's first rep start
+    total_dropped = 0
+    checked = 0
+    for plan in sched.plan_group(8, 300):
+        dp = pack_plan(plan, tables=False)
+        bp = sp.build_block_params(dp)
+        # dense ground truth over every (block, channel, magnitude)
+        g = np.where(dp.active, dp.gain, 0.0)
+        t64 = np.trunc(g[:, :, None] * sp._MAGS64[None, None, :])
+        t32 = np.trunc(g.astype(np.float32)[:, :, None]
+                       * sp._MAGS64.astype(np.float32)[None, None, :])
+        mism = (t64 != t32.astype(np.float64)) & dp.active[:, :, None]
+        m_i, c_i, j_i = np.nonzero(mism)
+        demand = np.zeros(dp.active.shape[0], np.int64)
+        for m, j in zip(m_i, j_i):
+            demand[m] += int(sp._MAG_IN_COS[j]) + int(sp._MAG_IN_SIN[j])
+        over = int(np.maximum(demand - sp._N_PATCH, 0).sum())
+        n_patched = int(np.count_nonzero(
+            np.stack([bp.prmf[:, sp.patch_word_lane(k)]
+                      for k in range(sp._N_PATCH)], axis=1)))
+        assert bp.patch_dropped == over, \
+            (bp.patch_dropped, over, "prefilter drop count != ground truth")
+        assert n_patched == int(demand.sum()) - over, \
+            "patched word count != ground-truth demand minus overflow"
+        total_dropped += bp.patch_dropped
+        checked += 1
+    assert checked == 8
+    assert total_dropped >= 1, \
+        "scenario no longer overflows anywhere; pin a new dropping span"
