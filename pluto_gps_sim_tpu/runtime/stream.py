@@ -96,6 +96,12 @@ class IqStream:
         # kernel's f32 trunc, +-1 LSB on that block's dwell samples);
         # per-stream so concurrent streams / MC batches attribute drops
         self.patch_dropped = 0
+        # packed C/A tables keyed by the +-1 chip table's bytes: the
+        # channel allocation only changes at rise/set (minutes), so
+        # every superframe of a dispatch group usually shares ONE
+        # table and the bit-pack pass (~1.2 ms/table on one core, on
+        # the host-bound critical path) collapses to dict hits
+        self._ca_cache: dict = {}
 
     @staticmethod
     def dispatch_ramp(k: int) -> Iterator[int]:
@@ -289,11 +295,31 @@ class IqStream:
         self.patch_dropped += sum(p.patch_dropped for p in pairs)
         prmi = np.concatenate([p.prmi for p in pairs], axis=0)
         prmf = np.concatenate([p.prmf for p in pairs], axis=0)
-        ca_tabs = sp.pack_ca_tables([dp.ca2 for dp in dps])
+        ca_tabs = self._pack_ca_group([dp.ca2 for dp in dps])
         sf_map = np.concatenate(
             [np.full(dp.n_blocks, i, np.int32)
              for i, dp in enumerate(dps)])
         return ("pallas", dps[0], prmi, prmf, ca_tabs, sf_map)
+
+    def _pack_ca_group(self, ca2s: list) -> np.ndarray:
+        """pack_ca_tables through the per-stream packed-table cache.
+
+        Output is bit-identical to sp.pack_ca_tables(ca2s) and keeps its
+        [len(ca2s), C, 1, 128] shape (one table slot per superframe, so
+        the compiled kernel's n_sf bucketing is unchanged) — only the
+        per-table packing work is deduplicated."""
+        from ..ops import synth_pallas as sp
+
+        packed = []
+        for ca2 in ca2s:
+            key = ca2.tobytes()
+            hit = self._ca_cache.get(key)
+            if hit is None:
+                if len(self._ca_cache) >= 64:   # bound rise/set churn
+                    self._ca_cache.pop(next(iter(self._ca_cache)))
+                hit = self._ca_cache[key] = sp.pack_ca_tables([ca2])[0]
+            packed.append(hit)
+        return np.stack(packed)
 
     def _dispatch_prepared(self, prep):
         """Start the device work for a prepared group; returns the
