@@ -104,23 +104,27 @@ def test_compiled_pallas_fs5mhz(fixture_paths):
     _assert_tracks_precise(got, golden, "compiled pallas fs=5MHz")
 
 
-def test_compiled_long_run_rollover(fixture_paths):
-    """99 s including an ephemeris rollover through the COMPILED Mosaic
-    kernel.  Every long-run A/B elsewhere runs the tiled or interpret
-    path; the Q36 NCO level exists precisely because long runs expose
-    what a 0.4 s check cannot, so the compiled artifact itself must be
-    exercised past the superframe scale.  Per superframe, the compiled
-    pallas output is held to the compiled tiled path (== the f64 precise
-    path bit-for-bit, test_soak) ON DEVICE — only 3 scalars per
-    superframe cross the tunnel."""
+def test_compiled_production_group_rollover(fixture_paths):
+    """450 s including an ephemeris rollover through the PRODUCTION
+    dispatch path — the exact compiled artifact bench.py times:
+    `IqStream(mode="pallas", superframes_per_dispatch=8)` with its
+    ramped dispatch groups (1, 2, 4, then a full 8-superframe group),
+    i.e. the multi-superframe sf_map + per-superframe C/A tables +
+    gain-trunc patch slots at group scale.  (Until round 4 the long
+    gate dispatched each superframe singly via synth_blocks_pallas —
+    a different compiled artifact than the one whose throughput is
+    the headline.)  Every 300-block superframe of every group is held
+    to the compiled tiled path (== the f64 precise path bit-for-bit,
+    test_soak) ON DEVICE — only 2 scalars per superframe cross the
+    tunnel — and the stream must drop ZERO patch words."""
     import jax
     import jax.numpy as jnp
 
     from pluto_gps_sim_tpu.models.gpstime import GpsTime, inc_gps_time
-    from pluto_gps_sim_tpu.ops import synth_pallas as sp
     from pluto_gps_sim_tpu.ops.synth_jnp import (
         pack_plan, synth_superframe_tiled_async)
     from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+    from pluto_gps_sim_tpu.runtime.stream import IqStream
 
     tpu = _tpu()
     rin = read_rinex2(fixture_paths["rinex2"])
@@ -128,8 +132,16 @@ def test_compiled_long_run_rollover(fixture_paths):
                    float(rin.eph[0].toc_sec[0]))
     g0 = setup_scenario(rin, inc_gps_time(toc0, 3540.0))  # rollover +90 s
     ieph = select_ephemeris_set(rin, g0)
-    sched = Scheduler(rin, g0, ieph, np.asarray(llh2xyz(TOKYO)),
-                      fs=2_600_000.0)
+    xyz = np.asarray(llh2xyz(TOKYO))
+    fs = 2_600_000.0
+    # ramp 1+2+4 then one FULL 8-superframe group: 300+600+1200+2400
+    n_blocks = 4500
+    stream = IqStream(rin, g0, ieph, xyz, fs=fs, mode="pallas",
+                      device=tpu, superframes_per_dispatch=8)
+    # independent scheduler replays the identical plans for the tiled
+    # reference (deterministic control plane)
+    sched = Scheduler(rin, g0, ieph, xyz, fs=fs)
+    bs = sched.block_samples
 
     def stats(packed, tiled):
         # int16 semantics of the packed low half without leaving int32
@@ -146,33 +158,39 @@ def test_compiled_long_run_rollover(fixture_paths):
 
     total = bad = 0
     max_err = 0
-    n_blocks = 990
     done = 0
-    while done < n_blocks:
-        plan = sched.plan(min(300, n_blocks - done))
-        dp = pack_plan(plan)
-        tiled = synth_superframe_tiled_async(dp, device=tpu)
-        with jax.enable_x64(False):
-            packed = sp.synth_blocks_pallas(
-                sp.build_block_params(dp), sp.pack_ca_tables([dp.ca2]),
-                np.zeros(dp.n_blocks, np.int32), dp.block_samples,
-                device=tpu)[:, :dp.block_samples]
-            jfn = jax.jit(stats, device=tpu)
-            n_bad, m = jfn(packed, tiled)
-        bad += int(np.asarray(n_bad))
-        max_err = max(max_err, int(np.asarray(m)))
-        total += 2 * dp.n_blocks * dp.block_samples
-        done += plan.n_blocks
-    assert sched.ieph == 1, "scenario did not cross the rollover"
+    with jax.enable_x64(False):
+        jfn = jax.jit(stats, device=tpu)
+    for packed_group in stream.superframes(n_blocks, as_device=True):
+        g_blocks = packed_group.shape[0]
+        off = 0
+        while off < g_blocks:
+            plan = sched.plan(min(300, g_blocks - off))
+            dp = pack_plan(plan)
+            assert dp.n_blocks == 300, "span drifted off the 300-block grid"
+            tiled = synth_superframe_tiled_async(dp, device=tpu)
+            with jax.enable_x64(False):
+                n_bad, m = jfn(packed_group[off:off + 300, :bs], tiled)
+            bad += int(np.asarray(n_bad))
+            max_err = max(max_err, int(np.asarray(m)))
+            total += 2 * 300 * bs
+            off += plan.n_blocks
+        done += g_blocks
+    assert done == n_blocks
+    assert stream.sched.ieph == 1 and sched.ieph == 1, \
+        "scenario did not cross the rollover"
+    assert stream.patch_dropped == 0, \
+        f"production stream dropped {stream.patch_dropped} patch words"
     exact = 1.0 - bad / total
-    print(f"compiled long run: {done} blocks, bit-exact {exact:.6%}, "
-          f"max component err {max_err}")
+    print(f"compiled production-path run: {done} blocks, bit-exact "
+          f"{exact:.6%}, max component err {max_err}")
     # After the round-3 gain-trunc patches and the Q24 carrier level,
     # the compiled kernel matches the tiled path to the NCOs' shared
     # quantization floor: expected disagreements ~0.03 components per
     # 990 blocks (u32 phase straddles at 2^-24, Q36 chip edges).  The
-    # bound allows ~5 of 515M — the pre-fix mechanisms read 124 (carrier
-    # Q12) and ~48k (gain trunc) here and must fail loudly.
+    # bound allows ~23 of 2.34G — the pre-fix mechanisms read 124
+    # (carrier Q12, per 990 blocks) and ~48k (gain trunc) here and must
+    # fail loudly.
     assert exact >= 1.0 - 1e-8 and max_err <= 8
 
 
