@@ -391,6 +391,28 @@ def test_host_partition_concatenates_identically(rinex):
         next(s.superframes(None))  # endless streams cannot partition
 
 
+def test_pack_ca_group_cache_is_transparent(rinex):
+    """IqStream's packed C/A-table cache must be invisible: any mix of
+    hits, misses, and evictions returns exactly sp.pack_ca_tables'
+    output (same shape — one slot per superframe — same bytes)."""
+    from pluto_gps_sim_tpu.models.cacode import CA_TABLE
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, mode="pallas",
+                 block_samples=8192)
+    tabs = [(CA_TABLE[np.arange(i, i + 12) % 32] * 2 - 1).astype(np.int8)
+            for i in range(70)]  # > the 64-entry cache bound
+    # repeated group (all misses, then all hits), duplicate inside a
+    # group, and an eviction sweep past the cache bound
+    for group in ([tabs[0]] * 3, [tabs[0], tabs[1], tabs[0]], tabs, tabs):
+        got = s._pack_ca_group(group)
+        want = sp.pack_ca_tables(group)
+        assert got.shape == want.shape and np.array_equal(got, want)
+    assert len(s._ca_cache) <= 64
+
+
 def test_as_device_multi_dispatch_tiled(rinex):
     """as_device=True with superframes_per_dispatch>1 in tiled mode must
     yield one array per GROUP (concatenated over its per-plan
