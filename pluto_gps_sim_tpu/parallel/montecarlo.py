@@ -162,7 +162,15 @@ class MonteCarloBatch:
         prmi = np.concatenate(prmi_all, axis=0)
         prmf = np.concatenate(prmf_all, axis=0)
         sf_map = np.concatenate(sf_map)
-        ca2 = sp.pack_ca_tables(ca_tabs)
+        # pad the deduped table list to a power-of-two bucket (repeating
+        # the first table; sf_map never points at the padding): the
+        # kernel's compiled shape is keyed on n_sf, and a content-
+        # dependent table count would otherwise trigger a fresh
+        # Mosaic/XLA compile (~20-40 s on TPU) whenever the visible set
+        # drifts with the scenario clock — same one-compiled-shape
+        # policy as the stream path's per-superframe slots
+        n_pad = 1 << max(len(ca_tabs) - 1, 0).bit_length()
+        ca2 = sp.pack_ca_tables(ca_tabs + [ca_tabs[0]] * (n_pad - len(ca_tabs)))
         self.control_seconds += _time.time() - t_start
         return prmi, prmf, ca2, sf_map
 

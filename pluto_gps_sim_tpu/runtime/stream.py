@@ -313,11 +313,12 @@ class IqStream:
         packed = []
         for ca2 in ca2s:
             key = ca2.tobytes()
-            hit = self._ca_cache.get(key)
-            if hit is None:
-                if len(self._ca_cache) >= 64:   # bound rise/set churn
-                    self._ca_cache.pop(next(iter(self._ca_cache)))
-                hit = self._ca_cache[key] = sp.pack_ca_tables([ca2])[0]
+            hit = self._ca_cache.pop(key, None)   # pop+reinsert = LRU:
+            if hit is None:                       # a table hit every group
+                if len(self._ca_cache) >= 64:     # but inserted early must
+                    self._ca_cache.pop(next(iter(self._ca_cache)))  # stay
+                hit = sp.pack_ca_tables([ca2])[0]
+            self._ca_cache[key] = hit
             packed.append(hit)
         return np.stack(packed)
 

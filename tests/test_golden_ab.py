@@ -409,14 +409,15 @@ def test_doppler_resonant_block_tracks_precise(fixture_paths):
 
 
 def test_gain_trunc_patch_exact(fixture_paths):
-    """Regression for the round-3 gain-trunc patch: the kernel's per-sample
-    iv = trunc(f32(T)*f32(g)) differs from the f64 tables' trunc(T*g) by
-    1 LSB on LUT entries whose product lands within f32 rounding of an
-    integer (~0.02 entries/block on real scenarios).  build_block_params
-    detects these host-side and emits per-block patch words
-    (synth_pallas._SLOT_I et al.) that the kernel applies in a guarded
-    fori_loop; with them the fused kernel must reproduce the f64 precise
-    path sample-exactly even on a gain chosen to sit on such a boundary."""
+    """Regression for the gain-trunc boundary handling: the kernel's
+    per-sample iv = trunc(f32(T)*f32(g)) differs from the f64 tables'
+    trunc(T*g) by 1 LSB on LUT entries whose product lands within f32
+    rounding of an integer (~0.02 entries/block on real scenarios).
+    build_block_params detects these host-side and (round 5) NUDGES the
+    f32 gain lane a few ulps so the kernel's truncs match the f64 tables
+    outright; the legacy patch-word path (nudge=False) must also still
+    reproduce the f64 precise path sample-exactly via the in-kernel
+    guarded fori_loop (synth_pallas._SLOT_I et al.)."""
     from pluto_gps_sim_tpu.constants import MAX_CHAN
     from pluto_gps_sim_tpu.models.cacode import CA_TABLE
     from pluto_gps_sim_tpu.ops import synth_pallas as sp
@@ -456,31 +457,47 @@ def test_gain_trunc_patch_exact(fixture_paths):
         gain=gain, azel=np.zeros((1, C, 2)))
     dp = pack_plan(plan)
     golden = synth_superframe_precise(dp)
-    prmi, prmf, n_dropped = sp.build_block_params(dp)
-    assert n_dropped == 0
-    words = np.array([prmf[0, sp.patch_word_lane(k)]
-                      for k in range(sp._N_PATCH)])
-    assert int((words != 0).sum()) == 2, \
-        "expected one patch word per LUT half for |T|=405"
 
-    def run(prmf_):
+    def run(prmi_, prmf_):
         packed = np.asarray(sp.synth_blocks_pallas(
-            (prmi, prmf_), sp.pack_ca_tables([dp.ca2]),
+            (prmi_, prmf_), sp.pack_ca_tables([dp.ca2]),
             np.zeros(1, np.int32), N, interpret=True))[:, :N]
         return np.stack(
             [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
              (packed >> 16).astype(np.int16)], axis=-1)
 
-    got = run(prmf)
+    # production path (nudge): the boundary gain's lane moves a few ulps
+    # and NO patch words are needed; output matches f64 sample-exactly
+    prmi, prmf, n_dropped = sp.build_block_params(dp)
+    assert n_dropped == 0
+    words = np.array([prmf[0, sp.patch_word_lane(k)]
+                      for k in range(sp._N_PATCH)])
+    assert int((words != 0).sum()) == 0, \
+        "nudge should clear the single-magnitude boundary without patches"
+    assert prmf[0, sp._F_GAIN + 1] != np.float32(g_boundary), \
+        "gain lane was not nudged"
+    got = run(prmi, prmf)
     assert np.array_equal(got, golden), (
-        f"{int((got != golden).sum())} components diverge with patches on")
+        f"{int((got != golden).sum())} components diverge with nudge on")
+
+    # legacy patch-word path (nudge=False): one word per LUT half,
+    # applied in-kernel, same exact output
+    prmi_p, prmf_p, n_dropped_p = sp.build_block_params(dp, nudge=False)
+    assert n_dropped_p == 0
+    words_p = np.array([prmf_p[0, sp.patch_word_lane(k)]
+                        for k in range(sp._N_PATCH)])
+    assert int((words_p != 0).sum()) == 2, \
+        "expected one patch word per LUT half for |T|=405"
+    got_p = run(prmi_p, prmf_p)
+    assert np.array_equal(got_p, golden), (
+        f"{int((got_p != golden).sum())} components diverge with patches on")
 
     # discrimination: with the patch lanes zeroed the boundary gain MUST
     # reproduce the 1-LSB divergence, or this test is exercising nothing
-    prmf_no = prmf.copy()
+    prmf_no = prmf_p.copy()
     for k in range(sp._N_PATCH):
         prmf_no[:, sp.patch_word_lane(k)] = 0.0
-    got_no = run(prmf_no)
+    got_no = run(prmi_p, prmf_no)
     bad = int((got_no != golden).sum())
     assert bad > 0, "unpatched kernel unexpectedly exact (dead test)"
     assert int(np.abs(got_no.astype(np.int64)
@@ -489,10 +506,14 @@ def test_gain_trunc_patch_exact(fixture_paths):
 
 def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
     """A gain within ~2^-25 of a small rational (here ~17/31) flips many
-    LUT magnitudes at once — more than the per-block patch slots.
-    The builder must NOT fail: it patches what fits, counts the rest in
-    the returned BlockParams.patch_dropped, and the unpatched entries
-    stay within the kernel's +-1 LSB f32-trunc behavior."""
+    LUT magnitudes at once — more than the per-block patch slots.  With
+    nudging disabled (nudge=False, pinning the legacy pure-patch path and
+    the kernel's overflow machinery) the builder must NOT fail: it
+    patches what fits, counts the rest in the returned
+    BlockParams.patch_dropped, and the unpatched entries stay within the
+    kernel's +-1 LSB f32-trunc behavior.  The production path (nudge on)
+    must resolve the SAME gain with zero patch words, zero drops, and a
+    sample-exact output — the round-5 closure of the _N_PATCH hole."""
     from pluto_gps_sim_tpu.constants import MAX_CHAN
     from pluto_gps_sim_tpu.models.cacode import CA_TABLE
     from pluto_gps_sim_tpu.ops import synth_pallas as sp
@@ -530,32 +551,53 @@ def test_gain_trunc_patch_overflow_degrades_gracefully(fixture_paths):
         carr_phase=rng.uniform(0, 1, (1, C)),
         gain=gain, azel=np.zeros((1, C, 2)))
     dp = pack_plan(plan)
-    prmi, prmf, n_dropped = sp.build_block_params(dp)
+    golden = synth_superframe_precise(dp)
+
+    def run(prmi_, prmf_):
+        packed = np.asarray(sp.synth_blocks_pallas(
+            (prmi_, prmf_), sp.pack_ca_tables([dp.ca2]),
+            np.zeros(1, np.int32), N, interpret=True))[:, :N]
+        return np.stack(
+            [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
+             (packed >> 16).astype(np.int16)], axis=-1)
+
+    # legacy pure-patch path: slots saturate, the rest is counted and
+    # degrades to +-1 LSB
+    prmi, prmf, n_dropped = sp.build_block_params(dp, nudge=False)
     assert n_dropped == n_flip * 2 - sp._N_PATCH
     words = np.array([prmf[0, sp.patch_word_lane(k)]
                       for k in range(sp._N_PATCH)])
     assert int((words != 0).sum()) == sp._N_PATCH, "slots not saturated"
-
-    golden = synth_superframe_precise(dp)
-    packed = np.asarray(sp.synth_blocks_pallas(
-        (prmi, prmf), sp.pack_ca_tables([dp.ca2]),
-        np.zeros(1, np.int32), N, interpret=True))[:, :N]
-    got = np.stack([(packed & 0xFFFF).astype(np.uint16).view(np.int16),
-                    (packed >> 16).astype(np.int16)], axis=-1)
-    err = np.abs(got.astype(np.int64) - golden.astype(np.int64))
+    err = np.abs(run(prmi, prmf).astype(np.int64)
+                 - golden.astype(np.int64))
     assert int(err.max()) <= 1, "overflow degradation exceeded 1 LSB"
+
+    # production path: the same-direction burst nudges away entirely —
+    # zero words, zero drops, sample-exact
+    prmi_n, prmf_n, n_dropped_n = sp.build_block_params(dp)
+    assert n_dropped_n == 0, "nudge failed to absorb the rational gain"
+    words_n = np.array([prmf_n[0, sp.patch_word_lane(k)]
+                        for k in range(sp._N_PATCH)])
+    assert int((words_n != 0).sum()) == 0
+    got_n = run(prmi_n, prmf_n)
+    assert np.array_equal(got_n, golden), (
+        f"{int((got_n != golden).sum())} components diverge with nudge on")
 
 
 def test_patch_prefilter_matches_dense_sweep_on_real_scenario(fixture_paths):
     """The interval+f32 prefilter in build_block_params must find EXACTLY
     the gain-trunc mismatches a dense f64-vs-f32 sweep over every
     (block, channel, magnitude) triple finds — including the drop count
-    when a block's demand overflows the patch slots.  Pinned on a real
-    scenario superframe that actually drops (bench's deep-scenario
-    streams report nonzero patch_dropped_stream; a captured run showed
-    one block demanding 8 words with 7 slots, caused by gains like
-    ~37/62 + ~9/10 dwelling together), so both the candidate set AND
-    the overflow accounting are checked against ground truth."""
+    when a block's demand overflows the patch slots.  Pinned (with
+    nudge=False, the pure-patch path) on a real scenario superframe that
+    actually drops (round-4 bench streams reported nonzero
+    patch_dropped_stream here; a captured run showed one block demanding
+    8 words with 7 slots, caused by gains like ~37/62 + ~9/10 dwelling
+    together), so both the candidate set AND the overflow accounting are
+    checked against ground truth.  The production path (nudge on) must
+    clear the SAME span with zero drops and zero residual patch words —
+    the round-5 bench/soak zero-drop guarantee on its worst measured
+    input."""
     from pluto_gps_sim_tpu.ops import synth_pallas as sp
     from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
     from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
@@ -568,9 +610,17 @@ def test_patch_prefilter_matches_dense_sweep_on_real_scenario(fixture_paths):
     sched.skip(300)                    # the bench child's first rep start
     total_dropped = 0
     checked = 0
+    nudged_words = nudged_drops = 0
     for plan in sched.plan_group(8, 300):
         dp = pack_plan(plan, tables=False)
-        bp = sp.build_block_params(dp)
+        # production path first: zero drops AND zero residual words on
+        # the span that used to overflow
+        bp_n = sp.build_block_params(dp)
+        nudged_drops += bp_n.patch_dropped
+        nudged_words += int(np.count_nonzero(
+            np.stack([bp_n.prmf[:, sp.patch_word_lane(k)]
+                      for k in range(sp._N_PATCH)], axis=1)))
+        bp = sp.build_block_params(dp, nudge=False)
         # dense ground truth over every (block, channel, magnitude)
         g = np.where(dp.active, dp.gain, 0.0)
         t64 = np.trunc(g[:, :, None] * sp._MAGS64[None, None, :])
@@ -594,3 +644,6 @@ def test_patch_prefilter_matches_dense_sweep_on_real_scenario(fixture_paths):
     assert checked == 8
     assert total_dropped >= 1, \
         "scenario no longer overflows anywhere; pin a new dropping span"
+    assert nudged_drops == 0 and nudged_words == 0, \
+        (nudged_drops, nudged_words,
+         "nudge left residual patch demand on the pinned dropping span")

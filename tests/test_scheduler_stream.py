@@ -411,6 +411,14 @@ def test_pack_ca_group_cache_is_transparent(rinex):
         want = sp.pack_ca_tables(group)
         assert got.shape == want.shape and np.array_equal(got, want)
     assert len(s._ca_cache) <= 64
+    # LRU, not FIFO: a table hit on every group must survive an eviction
+    # sweep of > 64 distinct tables interleaved with its hits
+    s._ca_cache.clear()
+    s._pack_ca_group([tabs[0]])
+    for t in tabs[1:]:
+        s._pack_ca_group([t, tabs[0]])     # sweep + keep tabs[0] hot
+    assert tabs[0].tobytes() in s._ca_cache, \
+        "hot C/A table evicted by the sweep (FIFO regression)"
 
 
 def test_as_device_multi_dispatch_tiled(rinex):
