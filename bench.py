@@ -97,6 +97,54 @@ def _probe_tpu(attempts: int = 3, probe_timeout: float = 150.0) -> bool:
 # everything measured before the stall (main() fills this in)
 _PARTIAL: dict = {}
 
+# The pipelined figure's measurement definition, recorded in the JSON so
+# cross-round comparisons know when the metric itself changed:
+#   1 (rounds 1-3): in-process IqStream, async-drain consumer
+#   2 (round 4+):   fresh-subprocess child, lag-1 synchronous device-side
+#                   consumer (see _pipelined_child) — the in-process
+#                   form conflated the figure with harness tunnel decay
+#                   and allocator-stall noise
+_PIPELINED_METRIC_VERSION = 2
+
+
+def _env_fingerprint(tpu) -> dict:
+    """Environment probe recorded alongside the results: host CPU count
+    and load, tunnel round-trip latency, and H2D/D2H bandwidth with
+    fixed-size probes — so a slow-tunnel hour is distinguishable from a
+    real regression in the artifact itself (round-4 verdict item #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    fp = {"nproc": os.cpu_count(),
+          "loadavg1": round(os.getloadavg()[0], 2)}
+    try:
+        with jax.enable_x64(False):
+            tiny = jax.device_put(jnp.zeros((1,), jnp.int32), tpu)
+            tiny.block_until_ready()
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                np.asarray(tiny)
+                ts.append(time.time() - t0)
+            fp["tunnel_rtt_ms"] = round(float(np.median(ts)) * 1e3, 1)
+            buf = np.zeros(16 * 1024 * 1024, np.int32)   # 64 MB probe
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                dev = jax.device_put(buf, tpu)
+                dev.block_until_ready()
+                ts.append(time.time() - t0)
+            fp["h2d_MBps"] = round(64.0 / float(np.median(ts)), 1)
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(dev)
+                ts.append(time.time() - t0)
+            fp["d2h_MBps"] = round(64.0 / float(np.median(ts)), 1)
+    except Exception as e:                    # fingerprint must not kill bench
+        fp["probe_error"] = str(e)
+    return fp
+
 
 def _arm_deadline(seconds: float) -> None:
     """Hard wall-clock ceiling on the whole bench: if anything wedges
@@ -249,6 +297,9 @@ def main() -> None:
     xyz = np.asarray(llh2xyz(llh))
     tpu = jax.devices()[0]
 
+    _PARTIAL["env"] = _env_fingerprint(tpu)
+    _PARTIAL["pipelined_metric_version"] = _PIPELINED_METRIC_VERSION
+
     # ---- correctness gate: compiled kernel vs f64 precise path -----------
     # After the round-3 gain-trunc patches and three-level carrier
     # residual, the kernel matches the f64 path to the NCOs' shared
@@ -331,16 +382,14 @@ def main() -> None:
         # eph-set run of superframes, as IqStream dispatch groups use)
         plans = sched.plan_group(n_superframes, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
-        # attribute drops to the timing rig, not the golden verify gates
-        # (which exit(1) on any drop): deep-scenario superframes here may
-        # legitimately hit near-rational gains that overflow the 7 patch
-        # slots on a block (+-1 LSB on that block's dwell, documented)
-        pairs = [sp.build_block_params(d) for d in dps]
+        # rig-attributed drop accounting: since the round-5 gain nudge,
+        # drops are zero on every measured scenario — enforced below
+        # after the timing phases (any drop in the artifact is a
+        # regression, see the drop-budget gate in main())
+        bp = sp.build_group_params(dps)
         _PARTIAL["patch_dropped_rig"] = (_PARTIAL.get("patch_dropped_rig", 0)
-                                         + sum(p.patch_dropped
-                                               for p in pairs))
-        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
-        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
+                                         + bp.patch_dropped)
+        prmi, prmf = bp.prmi.copy(), bp.prmf.copy()
         # force the full 12-channel load: clone active channels' params
         # into any inactive slots (the reference's worst case, MAX_CHAN=12)
         act = np.concatenate([d.active for d in dps], axis=0)
@@ -378,9 +427,7 @@ def main() -> None:
         t0 = time.time()
         plans = sched.plan_group(n_sf, 300)
         dps = [pack_plan(p, tables=False) for p in plans]
-        pairs = [sp.build_block_params(d) for d in dps]
-        np.concatenate([p.prmi for p in pairs], axis=0)
-        np.concatenate([p.prmf for p in pairs], axis=0)
+        sp.build_group_params(dps)
         sp.pack_ca_tables([d.ca2 for d in dps])
         return (time.time() - t0) / len(plans)
 
@@ -555,6 +602,21 @@ def main() -> None:
 
     e2e_pipe = _metric(_pipe)
 
+    # ---- drop budget gate (round-5): the gain nudge makes patch-slot
+    # overflow structurally impossible on measured scenarios — ANY drop
+    # in a timing stream or the rig is a regression and must fail the
+    # artifact rather than ship inside a "passing" JSON (round-4 verdict
+    # item #3; round-4 measured 217/95 here, round-5 measures 0/0).
+    drops = (_PARTIAL.get("patch_dropped_stream", 0) or 0) + \
+        (_PARTIAL.get("patch_dropped_rig", 0) or 0)
+    if drops:
+        print(json.dumps({"metric": "VERIFY_FAILED_DROP_BUDGET",
+                          "patch_dropped_stream":
+                              _PARTIAL.get("patch_dropped_stream", 0),
+                          "patch_dropped_rig":
+                              _PARTIAL.get("patch_dropped_rig", 0)}))
+        sys.exit(1)
+
     print(json.dumps({
         "metric": "iq_synthesis_throughput_12ch_2p6MHz",
         "value": round(msps, 1),
@@ -568,11 +630,13 @@ def main() -> None:
         "e2e_pipelined_runs": _PARTIAL.get("e2e_pipelined_runs"),
         "e2e_delivered_x": round(e2e_del / fs, 1) if e2e_del else None,
         "host_ctrl_ms_per_sf": _PARTIAL.get("host_ctrl_ms_per_sf"),
-        # golden-scenario drops are 0 by construction here (the verify
-        # gates exit(1) otherwise); _stream counts the production
-        # IqStream timing runs, _rig the 12-channel-clone worst-case rig
+        # both drop counters are hard-gated to 0 above (gain nudge);
+        # _stream counts the production IqStream timing runs, _rig the
+        # 12-channel-clone worst-case rig
         "patch_dropped_stream": _PARTIAL.get("patch_dropped_stream", 0),
         "patch_dropped_rig": _PARTIAL.get("patch_dropped_rig", 0),
+        "pipelined_metric_version": _PIPELINED_METRIC_VERSION,
+        "env": _PARTIAL.get("env"),
     }))
 
 

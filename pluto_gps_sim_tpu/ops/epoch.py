@@ -1,14 +1,17 @@
 """Batched 10 Hz epoch solve: ephemeris -> per-block synthesis parameters.
 
 Replaces the reference's scalar per-channel epoch refresh
-(plutogpssim.c:2656-2687 + computeCodePhase c:1754-1787) with one jitted,
-vmapped JAX computation per 30 s superframe:
+(plutogpssim.c:2656-2687 + computeCodePhase c:1754-1787) with one
+broadcast numpy computation per 30 s superframe:
 
-    ranges  : vmap over (epoch, satellite) of compute_range
+    ranges  : compute_range broadcast over (epoch, satellite)
     params  : per block k, pairs (rho[k], rho[k+1]) -> f_carr, f_code,
               code phase/word/bit/code counters, gain
 
-Runs on the CPU JAX backend (f64; see utils.hostjax).  All outputs are
+Pure numpy f64 on the host (round 5; was jitted CPU-JAX through round
+4 — the jit dispatch + device->host conversions cost ~2x the actual
+compute on the pipelined stream's host-bound critical path; see
+models/orbits.py for the exactness rationale).  All outputs are
 TPU-kernel-ready: int32 counters and f64 values later split into
 int/f32 anchors.
 
@@ -22,8 +25,6 @@ Exactness notes vs the reference:
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (
@@ -39,7 +40,6 @@ from ..constants import (
 from ..models import orbits
 from ..models.tables import ant_pat_linear
 from ..types import Ephemerides, IonoUtc
-from ..utils.hostjax import cpu_jit
 
 __all__ = ["solve_ranges", "solve_ranges_lean", "ranges_to_params",
            "solve_superframe"]
@@ -47,56 +47,41 @@ __all__ = ["solve_ranges", "solve_ranges_lean", "ranges_to_params",
 _ANT_PAT = np.asarray(ant_pat_linear())
 
 
-@cpu_jit
 def solve_ranges(eph: Ephemerides, ionoutc: IonoUtc,
-                 g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+                 g_secs, rx_pos):
     """compute_range over a [n_epochs] grid x [32] satellites.
 
     g_secs: [n_epochs] GPS seconds-of-week; rx_pos: [n_epochs, 3] ECEF.
-    Returns dict of arrays [n_epochs, 32]."""
-    return jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
-        g_secs, rx_pos)
+    Returns dict of arrays [n_epochs, 32].  (compute_range broadcasts,
+    so this and the batch form below are the same call; the named entry
+    points keep the control-plane call sites self-describing.)"""
+    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos)
 
 
-@cpu_jit
 def solve_ranges_lean(eph: Ephemerides, ionoutc: IonoUtc,
-                      g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+                      g_secs, rx_pos):
     """solve_ranges returning only what the planning path consumes
-    (range, d, azel).  The satpos velocity chain mostly stays live (the
-    transmit-time extrapolation pos - vel*tau and Sagnac correction
-    consume vel, orbits.py), so XLA only DCEs the rate dot product and
-    the clock-drift term; the real saving is the two dropped
-    [n_epochs, 32] f64 device->host conversions per call on the
-    pipelined stream's critical host path ("iono_delay" is already
-    folded into range; the reference also computes-but-drops the rate
-    term, c:1731).  Values are bit-identical to solve_ranges' (DCE
-    removes ops, it does not reassociate them)."""
-    r = jax.vmap(lambda g, x: orbits.compute_range(eph, ionoutc, g, x))(
-        g_secs, rx_pos)
-    return {"range": r["range"], "d": r["d"], "azel": r["azel"]}
+    (range, d, azel) — skips the rate dot product ("iono_delay" is
+    already folded into range; the reference also computes-but-drops
+    the rate term, c:1731).  Values are bit-identical to
+    solve_ranges'."""
+    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos, lean=True)
 
 
-@cpu_jit
 def solve_ranges_batch(eph: Ephemerides, ionoutc: IonoUtc,
-                       g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
-    """solve_ranges vmapped over a receiver batch (Monte-Carlo control
-    plane): one device call for ALL trajectories instead of B jit
-    round-trips.  rx_pos: [B, n_epochs, 3]; returns dict [B, n_epochs, 32].
-    """
-    return jax.vmap(lambda rx: solve_ranges.__wrapped__(
-        eph, ionoutc, g_secs, rx))(rx_pos)
+                       g_secs, rx_pos):
+    """solve_ranges over a receiver batch (Monte-Carlo control plane):
+    one broadcast call for ALL trajectories.  g_secs [n_epochs] (shared
+    clock), rx_pos [B, n_epochs, 3]; returns dict [B, n_epochs, 32]."""
+    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos)
 
 
-@cpu_jit
 def solve_ranges_batch_lean(eph: Ephemerides, ionoutc: IonoUtc,
-                            g_secs: jnp.ndarray, rx_pos: jnp.ndarray):
+                            g_secs, rx_pos):
     """solve_ranges_batch restricted to the planning keys (range, d,
-    azel) — same DCE rationale as solve_ranges_lean; at B=256 the
-    dropped keys alone were ~39 MB of wasted [B, n_epochs, 32] f64
-    conversion per plan round.  (The allocation precomp path keeps the
-    full solve: _init_channel reads iono_delay.)"""
-    return jax.vmap(lambda rx: solve_ranges_lean.__wrapped__(
-        eph, ionoutc, g_secs, rx))(rx_pos)
+    azel).  (The allocation precomp path keeps the full solve:
+    _init_channel reads iono_delay.)"""
+    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos, lean=True)
 
 
 def ranges_to_params(rho_range: np.ndarray, rho_d: np.ndarray,
@@ -193,8 +178,7 @@ def solve_superframe(eph: Ephemerides, ionoutc: IonoUtc,
     Returns (params dict [n_blocks, C], carry dict for the next superframe).
     """
     if rho is None:
-        rho = solve_ranges_lean(eph, ionoutc, jnp.asarray(g_secs),
-                                jnp.asarray(rx_pos))
+        rho = solve_ranges_lean(eph, ionoutc, g_secs, rx_pos)
     cols = slice(None) if rho_in_slots else sv_idx
     rng = np.asarray(rho["range"])[:, cols]          # [n_epochs, C]
     d = np.asarray(rho["d"])[:, cols]

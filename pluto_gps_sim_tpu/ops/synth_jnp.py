@@ -44,7 +44,8 @@ import numpy as np
 from ..constants import CA_SEQ_LEN, MAX_CHAN
 from ..models.tables import COS_TABLE_512, SIN_TABLE_512
 
-__all__ = ["DevicePlan", "pack_plan", "synth_superframe_precise",
+__all__ = ["DevicePlan", "pack_plan", "split_plan",
+           "synth_superframe_precise",
            "synth_superframe_tiled", "synth_superframe_tiled_async",
            "TILE"]
 
@@ -175,6 +176,68 @@ def pack_plan(plan, tile: int = TILE, tables: bool = True) -> DevicePlan:
         step_u32=step_u32, sr12=sr12, srem=srem,
         code_q12=code_q12, code_q24=code_q24, code_q36=code_q36,
         carr_u32=carr_u32, carr_q12=carr_q12,
+    )
+
+
+def split_plan(dp: DevicePlan, max_samples: int) -> DevicePlan:
+    """Split every block of a (tables=False) DevicePlan into K equal
+    sub-blocks of <= max_samples samples, with re-anchored closed-form
+    parameters — this is what lifts the fused Pallas kernel's Q24 range
+    cap (synth_pallas.MAX_BLOCK_SAMPLES, fs <= 5.24 MHz at 0.1 s
+    blocks) to ANY sample rate: the reference accepts any -s >= 1 MHz
+    (plutogpssim.c:2326-2329), and sub-blocks are just shorter rows of
+    the kernel's outer grid axis.
+
+    Sub-block k of block m starts at sample offset k*sub and carries:
+      carrier   c0' = c0 + u*(k*sub)          (f64; frac'd at pack time)
+      code      total chips t = cp0 + v*(k*sub), re-based into a code
+                period: cp0' = t - 1023*w, ic0' = ic0 + w (w = whole
+                periods since block start) so the Q12 plane stays far
+                inside int32 at any fs and the nav-bit index
+                q = (ic0' + w')//20 reconstructs the absolute period
+                count exactly
+    The last sub-block extrapolates past the true block end (K*sub >=
+    N); consumers trim the reassembled [M, K*sub] row to N samples
+    (IqStream does).  Re-anchoring rounds once in f64 (~1e-10 chips),
+    the same class as the closed form's own floor — the split-precise
+    vs unsplit-precise residual is a rare chip-edge straddle, orders
+    below the reference A/B gates.  Plans already inside the cap pass
+    through unchanged."""
+    N = dp.block_samples
+    if N <= max_samples:
+        return dp
+    K = -(-N // max_samples)
+    sub = -(-N // K)
+    M, C = dp.active.shape
+    offs = np.arange(K, dtype=np.float64) * sub            # [K]
+    c0 = dp.c0[:, None, :] + dp.u[:, None, :] * offs[None, :, None]
+    cpt = dp.cp0[:, None, :] + dp.v[:, None, :] * offs[None, :, None]
+    w = np.floor(cpt / CA_SEQ_LEN)
+    cp0 = cpt - CA_SEQ_LEN * w                             # [M, K, C]
+    ic0 = dp.ic0[:, None, :] + w.astype(np.int32)
+
+    def rep(a):
+        """[M, C, ...] -> [M*K, C, ...] with each row repeated K times."""
+        return np.repeat(a, K, axis=0)
+
+    # per-sub-block gain LUTs repeat (gain is per block); the tiled
+    # path's per-tile anchors would need recomputation and the tiled
+    # path has no range cap to lift, so they come back empty — split
+    # plans feed the pallas and precise paths only
+    z = np.zeros((M * K, C, 0), np.int32)
+    return DevicePlan(
+        n_blocks=M * K, block_samples=sub, n_tiles=-(-sub // TILE),
+        ca2=dp.ca2, bits=dp.bits,
+        active=rep(dp.active), u=rep(dp.u), v=rep(dp.v),
+        c0=c0.reshape(M * K, C), cp0=cp0.reshape(M * K, C),
+        b0=rep(dp.b0), ic0=ic0.reshape(M * K, C).astype(np.int32),
+        gain=rep(dp.gain),
+        qcos_pm=rep(dp.qcos_pm) if dp.qcos_pm.size else z,
+        qsin_pm=rep(dp.qsin_pm) if dp.qsin_pm.size else z,
+        v_q12=rep(dp.v_q12), r24=rep(dp.r24), r36=rep(dp.r36),
+        rrr=rep(dp.rrr), step_u32=rep(dp.step_u32), sr12=rep(dp.sr12),
+        srem=rep(dp.srem),
+        code_q12=z, code_q24=z, code_q36=z, carr_u32=z, carr_q12=z,
     )
 
 

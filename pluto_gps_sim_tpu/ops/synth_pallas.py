@@ -499,21 +499,44 @@ def build_block_params(dp, nudge: bool = True) -> BlockParams:
     before falling back to patch words; nudge=False pins the pure
     patch-word path (kept for the overflow-degradation regression
     tests)."""
+    return build_group_params([dp], nudge=nudge)
+
+
+def build_group_params(dps: list, nudge: bool = True) -> BlockParams:
+    """build_block_params over a whole dispatch group in ONE pass.
+
+    The per-superframe form ran ~60 numpy ops on [300, 12] arrays whose
+    per-op dispatch overhead dominated on a 1-core host (~1.9 ms per
+    superframe, on the pipelined stream's host-bound critical path);
+    concatenating the group's plans first amortizes that overhead over
+    K superframes (~4x at K=8).  Output planes are bit-identical to
+    concatenating per-plan build_block_params results: every step is
+    row-independent elementwise math except the nav-bit table pack,
+    which stays per-superframe (each superframe has its own bits
+    table), and the gain-interval patch prefilter, whose wider
+    per-group intervals only admit MORE candidate pairs into the exact
+    f32 trigger check (the trigger itself is unchanged)."""
+    assert dps, "empty dispatch group"
+    block_samples = dps[0].block_samples
+    assert all(d.block_samples == block_samples for d in dps), \
+        "dispatch group mixes block sizes"
     # Q24 residual ramp bound: r24*n must stay inside int32
-    assert dp.block_samples <= MAX_BLOCK_SAMPLES, \
+    assert block_samples <= MAX_BLOCK_SAMPLES, \
         "block too long for the Q24 code NCO (needs <=5.24 MHz at 0.1 s blocks)"
+    act = np.concatenate([d.active for d in dps], axis=0)
+    gain64 = np.concatenate([d.gain for d in dps], axis=0)
+    v = np.concatenate([d.v for d in dps], axis=0)
     # in-kernel f32 reciprocal division is exact for chip < 600k
-    assert float(np.max(np.abs(dp.v))) <= 1.1, \
+    assert float(np.max(np.abs(v))) <= 1.1, \
         "code rate out of range for the kernel's chip arithmetic"
     # biased-accumulator budget: |trunc(table*gain)| <= 1024
-    assert float(np.max(np.abs(dp.gain))) <= 2.0, \
+    assert float(np.max(np.abs(gain64))) <= 2.0, \
         "channel gain out of range for the biased packed accumulator"
-    M, C = dp.active.shape
-    act = dp.active
-    c0 = np.where(act, dp.c0, 0.0)
-    u = np.where(act, dp.u, 0.0)
-    cp0 = np.where(act, dp.cp0, 0.0)
-    v = np.where(act, dp.v, 0.0)
+    M, C = act.shape
+    c0 = np.where(act, np.concatenate([d.c0 for d in dps], axis=0), 0.0)
+    u = np.where(act, np.concatenate([d.u for d in dps], axis=0), 0.0)
+    cp0 = np.where(act, np.concatenate([d.cp0 for d in dps], axis=0), 0.0)
+    v = np.where(act, v, 0.0)
 
     # FLOOR anchor + sub-unit Q12 digit (see _F_CQ12 comment): the f64
     # product frac(c0)*2^32 is exact (power-of-two scale), so both the
@@ -543,11 +566,12 @@ def build_block_params(dp, nudge: bool = True) -> BlockParams:
     rrr = ((r4b - r36 / 4096.0) * 4096.0).astype(np.float32)  # 4th level
 
     # nav-bit mask: bit q = 0/1 value of nav bit at index B0 + q
-    b0 = np.where(act, dp.b0, 0)
-    ic0 = np.where(act, dp.ic0, 0).astype(np.int32)
+    b0 = np.where(act, np.concatenate([d.b0 for d in dps], axis=0), 0)
+    ic0 = np.where(act, np.concatenate([d.ic0 for d in dps], axis=0),
+                   0).astype(np.int32)
     # enforce the 32-bit mask width: q = (ic0 + code_periods)//20 must
     # stay < 32 for every sample of the block (worst case today is 29)
-    max_w = (cp0 + np.abs(v) * dp.block_samples) // CA_SEQ_LEN
+    max_w = (cp0 + np.abs(v) * block_samples) // CA_SEQ_LEN
     assert int(np.max((ic0 + max_w) // 20)) < 32, \
         "nav-bit index exceeds the 32-bit per-block mask"
     # bit q of the mask = nav bit at B0+q as 0/1 (+1 -> 0, -1 -> 1).
@@ -558,26 +582,36 @@ def build_block_params(dp, nudge: bool = True) -> BlockParams:
     # [M, C] gather + shift — O(C*1800) setup instead of the O(M*C*32)
     # per-bit gather + packbits this replaces (which was itself ~2x
     # cheaper than the shift-or loop before it; this is another ~10x,
-    # build_block_params sits on the host-bound pipelined critical path)
-    # the old per-bit form clipped b0+q to the table end; clamp b0 the
-    # same way so an out-of-range start reads the replicated final bit
-    b0 = np.minimum(b0, dp.bits.shape[1] - 1)
-    bits01 = dp.bits < 0                                   # [C, n_bits]
-    ext = np.concatenate(
-        [bits01, np.repeat(bits01[:, -1:], 39, axis=1)], axis=1)
-    pb = np.packbits(ext, axis=1, bitorder="little")       # [C, ceil/8]
-    pb = np.concatenate([pb, np.zeros((C, 7), np.uint8)], axis=1)
-    sw = np.lib.stride_tricks.sliding_window_view(pb, 8, axis=1)
-    # explicit little-endian byte assembly (endian-neutral, unlike a
-    # .view(uint64) of host-order bytes)
-    v64 = (sw.astype(np.uint64)
-           << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
-               axis=2, dtype=np.uint64)                    # [C, n_wins]
-    win = v64[np.arange(C)[None, :], b0 >> 3]              # [M, C]
-    nbmask = ((win >> (b0 & 7).astype(np.uint64))
-              & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    # this function sits on the host-bound pipelined critical path).
+    # This stage is the one per-SUPERFRAME part of the group pass: each
+    # superframe has its own bits table.
+    nbmask = np.empty((M, C), np.int32)
+    row = 0
+    for d in dps:
+        m_sf = d.active.shape[0]
+        # the old per-bit form clipped b0+q to the table end; clamp b0
+        # the same way so an out-of-range start reads the replicated
+        # final bit
+        b0s = np.minimum(b0[row:row + m_sf], d.bits.shape[1] - 1)
+        bits01 = d.bits < 0                                # [C, n_bits]
+        ext = np.concatenate(
+            [bits01, np.repeat(bits01[:, -1:], 39, axis=1)], axis=1)
+        pb = np.packbits(ext, axis=1, bitorder="little")   # [C, ceil/8]
+        pb = np.concatenate([pb, np.zeros((C, 7), np.uint8)], axis=1)
+        sw = np.lib.stride_tricks.sliding_window_view(pb, 8, axis=1)
+        # explicit little-endian byte assembly (endian-neutral, unlike a
+        # .view(uint64) of host-order bytes)
+        v64 = (sw.astype(np.uint64)
+               << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+                   axis=2, dtype=np.uint64)                # [C, n_wins]
+        win = v64[np.arange(C)[None, :], b0s >> 3]         # [m_sf, C]
+        nbmask[row:row + m_sf] = (
+            (win >> (b0s & 7).astype(np.uint64))
+            & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        row += m_sf
+    assert row == M
 
-    gain = np.where(act, dp.gain, 0.0).astype(np.float32)
+    gain = np.where(act, gain64, 0.0).astype(np.float32)
 
     # ---- gain-trunc patch words (see _SLOT_I) -----------------------------
     # f32 prefilter: a trunc mismatch needs |T*g| within |p32 - p64| <=
@@ -598,32 +632,45 @@ def build_block_params(dp, nudge: bool = True) -> BlockParams:
     # |p32 - p64| <= p*2^-23 + 2^-12 trigger window) contains one.
     # ~12x223 f64 interval tests replace ~2100x223 f32 products; the
     # dense test runs only on the surviving (channel, magnitude) pairs.
+    # Intervals are taken PER SUPERFRAME segment (not over the whole
+    # group): a channel's gain spans ~1e-4 over 30 s but sweeps wide
+    # over a K=8 group, and group-wide intervals admitted hundreds of
+    # false-positive pairs into the dense pass (measured as a 2x cost
+    # regression when this function first went group-batched).
     delta = 2.0 ** -11
-    gmin = np.min(np.where(act, dp.gain, np.inf), axis=0)       # [C]
-    gmax = np.max(np.where(act, dp.gain, -np.inf), axis=0)
-    plo = gmin[:, None] * _MAGS64[None, :] - delta              # [C, 223]
-    phi = gmax[:, None] * _MAGS64[None, :] + delta
-    has_int = (np.floor(phi) >= np.ceil(plo)) & act.any(axis=0)[:, None]
     cand = []                            # (m, c, j); sorted() below owns order
     magic = np.float32(12582912.0)                 # 1.5 * 2^23
-    cs, js = np.nonzero(has_int)         # surviving (channel, magnitude) pairs
-    if cs.size:
-        # one [M, n_pairs] f32 pass over every surviving pair at once
-        # (the f32 product expression is unchanged, so the candidate set
-        # is identical to the old per-channel sweep); inactive blocks
-        # have gain 0 -> frac 0, masked out by act
-        p32 = gain[:, cs] * _MAGS64[js].astype(np.float32)[None, :]
-        frac = p32 - ((p32 + magic) - magic)
-        near = (np.abs(frac) < np.float32(2.0 ** -12)) & act[:, cs]
-        for mi, pi in zip(*np.nonzero(near)):
-            cand.append((int(mi), int(cs[pi]), int(js[pi])))
+    row = 0
+    for d in dps:
+        m_sf = d.active.shape[0]
+        seg = slice(row, row + m_sf)
+        acts = act[seg]
+        gmin = np.min(np.where(acts, gain64[seg], np.inf), axis=0)   # [C]
+        gmax = np.max(np.where(acts, gain64[seg], -np.inf), axis=0)
+        plo = gmin[:, None] * _MAGS64[None, :] - delta         # [C, 223]
+        phi = gmax[:, None] * _MAGS64[None, :] + delta
+        has_int = (np.floor(phi) >= np.ceil(plo)) \
+            & acts.any(axis=0)[:, None]
+        cs, js = np.nonzero(has_int)     # surviving (channel, mag) pairs
+        if cs.size:
+            # one [m_sf, n_pairs] f32 pass over every surviving pair at
+            # once (the f32 product expression is unchanged, so the
+            # candidate set is identical to the old per-channel sweep);
+            # inactive blocks have gain 0 -> frac 0, masked out by act
+            p32 = gain[seg][:, cs] \
+                * _MAGS64[js].astype(np.float32)[None, :]
+            frac = p32 - ((p32 + magic) - magic)
+            near = (np.abs(frac) < np.float32(2.0 ** -12)) & acts[:, cs]
+            for mi, pi in zip(*np.nonzero(near)):
+                cand.append((row + int(mi), int(cs[pi]), int(js[pi])))
+        row += m_sf
     # exact f64-vs-f32 trunc check, vectorized over the few candidates
     # (a scalar-numpy loop here cost ~50 us per candidate)
     cand.sort()
     deltas = []
     if cand:
         ca_ = np.array(cand, np.int64)               # [n, 3] (m, c, j)
-        gg_ = dp.gain[ca_[:, 0], ca_[:, 1]]
+        gg_ = gain64[ca_[:, 0], ca_[:, 1]]
         t64 = np.trunc(_MAGS64[ca_[:, 2]] * gg_)
         t32 = np.trunc(_MAGS64[ca_[:, 2]].astype(np.float32)
                        * gg_.astype(np.float32))
@@ -652,24 +699,28 @@ def build_block_params(dp, nudge: bool = True) -> BlockParams:
             if d != 0:
                 by_mc[(m, c)] = True
         for m, c in sorted(by_mc):
-            g64 = dp.gain[m, c]
+            g64 = gain64[m, c]
             t64_all = np.trunc(_MAGS64 * g64)
-            best = None
-            for k in (0, 1, -1, 2, -2, 3, -3, 4, -4):
-                gc = np.float32(g64)
-                for _ in range(abs(k)):
-                    gc = np.nextafter(
-                        gc, np.float32(np.inf if k > 0 else -np.inf))
-                t32_all = np.trunc(_MAGS32 * gc)
-                mj = np.nonzero(t64_all != t32_all.astype(np.float64))[0]
-                if best is None or len(mj) < len(best[1]):
-                    best = (gc, mj, t64_all - t32_all.astype(np.float64))
-                if len(mj) == 0:
-                    break
-            gc, mj, dall = best
-            gain[m, c] = gc
-            for j in mj:
-                fixes.append((m, c, int(j), int(dall[j])))
+            # all 2*_NUDGE_ULPS+1 candidate lanes in one vector pass,
+            # then pick by (mismatch count, |ulp| step) preference
+            g0 = np.float32(g64)
+            ups = [g0]
+            dns = [g0]
+            for _ in range(_NUDGE_ULPS):
+                ups.append(np.nextafter(ups[-1], np.float32(np.inf)))
+                dns.append(np.nextafter(dns[-1], np.float32(-np.inf)))
+            order = [g0]
+            for k in range(1, _NUDGE_ULPS + 1):
+                order += [ups[k], dns[k]]
+            gc_arr = np.array(order, np.float32)              # [9]
+            d_all = t64_all[None, :] \
+                - np.trunc(_MAGS32[None, :] * gc_arr[:, None]
+                           ).astype(np.float64)               # [9, 223]
+            counts = np.count_nonzero(d_all, axis=1)
+            best = int(np.argmin(counts))   # argmin = first = smallest |k|
+            gain[m, c] = gc_arr[best]
+            for j in np.nonzero(d_all[best])[0]:
+                fixes.append((m, c, int(j), int(d_all[best, j])))
     else:
         fixes = [(m, c, j, int(d))
                  for (m, c, j), d in zip(cand, deltas) if d != 0]

@@ -97,48 +97,87 @@ class MonteCarloBatch:
                  "rho": {k: v[b] for k, v in rho.items()},
                  "rho_ref": ref} for b in range(self.B)]
 
+    # epoch cap per batched range solve: bounds the [B, n_epochs, 32]
+    # f64 working set (B=256 x 1024 x 32 x 8 B x 3 keys ~ 2 GB) while
+    # still amortizing the solve over multiple superframes per call
+    _SOLVE_CHUNK_EPOCHS = 1024
+
     def plan_blocks(self, n_blocks: int):
         """Plan n_blocks for every trajectory; returns kernel-ready args.
 
         All trajectories share the scenario clock, so their superframe
         boundaries align and every plan() round covers the same block
         span for every receiver — which is what lets the range solve
-        batch over receivers."""
+        batch over receivers, and (round 5, mirroring
+        Scheduler.plan_group) over RUNS of consecutive superframes on
+        one ephemeris set: one solve_ranges_batch_lean call per
+        eph-set run chunk instead of one per superframe.  satpos inside
+        the batched solve is receiver-independent and computed once per
+        epoch grid (compute_range broadcasts it against the B axis)."""
         import time as _time
         t_start = _time.time()
-        prmi_all, prmf_all, ca_tabs, sf_map = [], [], [], []
+        ca_tabs, sf_map = [], []
         per_b = [[] for _ in range(self.B)]
-        done = 0
-        while done < n_blocks:
-            s0 = self.scheds[0]
-            # shared clock: every scheduler's next plan covers the same
-            # span, over the SAME grid arrays plan() itself would build
-            M, t_end, boundary = s0.next_plan_span(n_blocks - done)
-            g_secs, _, _ = s0.epoch_grid(M)
-            rx = np.stack([s.epoch_grid(M)[2] for s in self.scheds])
-            eph = self.rin.eph[s0.ieph]
+
+        # pre-simulate the shared-clock spans (deterministic, mirrors
+        # Scheduler.plan_group): (jblk0, M, ieph, boundary, t_end,
+        # post-rollover ieph)
+        s0 = self.scheds[0]
+        spans = []
+        jblk, ieph = s0.jblk, s0.ieph
+        left = int(n_blocks)
+        while left > 0:
+            t0 = s0._epoch_time(jblk)
+            rem = (-int(round(t0.sec * 10.0))) % 300
+            M = min(rem if rem > 0 else 300, left)
+            t_end = s0._epoch_time(jblk + M)
+            bnd = int(round(t_end.sec * 10.0)) % 300 == 0
+            post = scenario_mod.advance_ephemeris_set(
+                self.rin, ieph, t_end) if bnd else ieph
+            spans.append((jblk, M, ieph, bnd, t_end, post))
+            jblk += M
+            left -= M
+            ieph = post
+
+        i = 0
+        while i < len(spans):
+            # chunk = contiguous spans on one eph set, capped by the
+            # solve working-set bound
+            j = i
+            total = spans[i][1]
+            while (j + 1 < len(spans) and spans[j + 1][2] == spans[i][2]
+                   and total + spans[j + 1][1] + 1
+                   <= self._SOLVE_CHUNK_EPOCHS):
+                j += 1
+                total += spans[j][1]
+            jblk0 = spans[i][0]
+            ks = jblk0 + np.arange(total + 1)
+            g_secs = s0._grid_arrays(ks)[0]      # shared scenario clock
+            rx = np.stack([s._grid_arrays(ks)[2] for s in self.scheds])
+            eph = self.rin.eph[spans[i][2]]
             rho_b = solve_ranges_batch_lean(eph, self.rin.ionoutc,
                                             g_secs, rx)
-            # materialize ONCE: per-receiver dict slices below must be
-            # plain numpy, not B x n_keys lazy device fetches
             rho_b = {k: np.asarray(v) for k, v in rho_b.items()}
 
-            # boundary-allocation precomp (with the eph set in effect
-            # AFTER the clock-driven rollover check, c:2774-2790)
-            pre = None
-            if boundary:
-                ieph_next = scenario_mod.advance_ephemeris_set(
-                    self.rin, s0.ieph, t_end)
-                pre = self._alloc_precomp(self.rin.eph[ieph_next], t_end,
-                                          rx[:, -1])
-            for b, sched in enumerate(self.scheds):
-                rho = {k: v[b] for k, v in rho_b.items()}
-                plan = sched.plan(n_blocks - done, rho=rho,
-                                  alloc_precomp=None if pre is None
-                                  else pre[b])
-                assert plan.n_blocks == M, "schedulers lost clock sync"
-                per_b[b].append(plan)
-            done += M
+            for k in range(i, j + 1):
+                jb, M, _, boundary, t_end, post = spans[k]
+                off = jb - jblk0
+                # boundary-allocation precomp (with the eph set in
+                # effect AFTER the clock-driven rollover check,
+                # c:2774-2790)
+                pre = None
+                if boundary:
+                    pre = self._alloc_precomp(
+                        self.rin.eph[post], t_end, rx[:, off + M])
+                for b, sched in enumerate(self.scheds):
+                    rho = {kk: v[b, off:off + M + 1]
+                           for kk, v in rho_b.items()}
+                    plan = sched.plan(M, rho=rho,
+                                      alloc_precomp=None if pre is None
+                                      else pre[b])
+                    assert plan.n_blocks == M, "schedulers lost clock sync"
+                    per_b[b].append(plan)
+            i = j + 1
         # C/A tables dedupe by chip-table bytes: receivers near each
         # other see the same satellites, so B=256 plans typically share
         # a handful of distinct tables — sf_map rows point straight at
@@ -146,21 +185,23 @@ class MonteCarloBatch:
         # the output is bit-identical; the ~1.2 s/256-table bit-pack
         # pass and its H2D bytes collapse with it)
         ca_seen: dict = {}
+        dps_all = []
         for b in range(self.B):
             for plan in per_b[b]:
                 dp = pack_plan(plan, tables=False)  # kernel builds LUTs
-                bp = sp.build_block_params(dp)
-                self.patch_dropped += bp.patch_dropped
-                prmi_all.append(bp.prmi)
-                prmf_all.append(bp.prmf)
+                dps_all.append(dp)
                 key = dp.ca2.tobytes()
                 idx = ca_seen.get(key)
                 if idx is None:
                     idx = ca_seen[key] = len(ca_tabs)
                     ca_tabs.append(dp.ca2)
                 sf_map.append(np.full(plan.n_blocks, idx, np.int32))
-        prmi = np.concatenate(prmi_all, axis=0)
-        prmf = np.concatenate(prmf_all, axis=0)
+        # one batched parameter build over all B receivers' plans
+        # (bit-identical to per-plan builds + concat; per-op numpy
+        # overhead amortizes over B x n_superframes segments)
+        bp = sp.build_group_params(dps_all)
+        self.patch_dropped += bp.patch_dropped
+        prmi, prmf = bp.prmi, bp.prmf
         sf_map = np.concatenate(sf_map)
         # pad the deduped table list to a power-of-two bucket (repeating
         # the first table; sf_map never points at the padding): the

@@ -85,12 +85,13 @@ def allocate_channels(state: ChannelState, eph: Ephemerides,
                       nav_cache=None) -> int:
     """One allocation pass at time grx; mutates state; returns #visible.
 
-    precomp (optional, for batched Monte-Carlo control planes) carries
-    device solves already computed for this (receiver, grx, eph):
-      vis [32] bool, azel [32,2], and the per-sat range/iono/d arrays of
-      compute_range at grx for the receiver ("rho") and the earth-center
-      reference ("rho_ref", receiver-independent, c:1959).  nav_cache is
-      a models.lnav.NavCache shared across receivers."""
+    precomp (optional; batched Monte-Carlo control planes and the
+    scheduler's batched boundary pass) carries solves already computed
+    for this (receiver, grx, eph): vis [32] bool, azel [32,2], and
+    optionally the per-sat range/iono/d arrays of compute_range at grx
+    for the receiver ("rho") and the earth-center reference ("rho_ref",
+    receiver-independent, c:1959) — when absent those stay lazy.
+    nav_cache is a models.lnav.NavCache shared across receivers."""
     if precomp is not None:
         vis, azel = precomp["vis"], precomp["azel"]
     else:
@@ -98,10 +99,13 @@ def allocate_channels(state: ChannelState, eph: Ephemerides,
         vis = np.asarray(vis)
         azel = np.asarray(azel)
 
+    # precomp may carry only vis/azel (the scheduler's batched boundary
+    # pass): the range solves stay lazy and only run when a rise event
+    # actually claims a slot below
     rho = rho_ref = None
     if precomp is not None:
-        rho = precomp["rho"]
-        rho_ref = precomp["rho_ref"]
+        rho = precomp.get("rho")
+        rho_ref = precomp.get("rho_ref")
 
     nsat = 0
     for sv in range(MAX_SAT):

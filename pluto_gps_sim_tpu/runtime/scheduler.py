@@ -33,7 +33,7 @@ import numpy as np
 
 from ..constants import LAMBDA_L1, MAX_CHAN, N_DWRD
 from ..ingest.rinex import RinexResult
-from ..models import lnav
+from ..models import lnav, orbits
 from ..models.cacode import CA_TABLE
 from ..models.gpstime import GpsTime, inc_gps_time, inc_gps_time_grid
 from ..ops.epoch import solve_ranges_lean, solve_superframe
@@ -242,8 +242,12 @@ class Scheduler:
             return []
         # simulate the (start, length, eph set) of each span plan() will
         # take — all deterministic host arithmetic; rollover lookahead
-        # mirrors _boundary_update's advance_ephemeris_set call
+        # mirrors _boundary_update's advance_ephemeris_set call.
+        # bounds[k] = (jblk_end, post-rollover eph set) for each span
+        # ending on a 30 s boundary — the inputs of the batched
+        # boundary-visibility precomp below.
         spans = []
+        bounds: dict[int, tuple[int, int]] = {}
         jblk, ieph = self.jblk, self.ieph
         left = total_blocks
         for _ in range(n_superframes):
@@ -261,48 +265,40 @@ class Scheduler:
             if int(round(t_end.sec * 10.0)) % 300 == 0:
                 ieph = scenario_mod.advance_ephemeris_set(
                     self.rin, ieph, t_end)
+                bounds[len(spans) - 1] = (jblk, ieph)
+
+        # boundary allocation inputs for the whole group in ONE batched
+        # visibility solve (per-boundary [32] solves were numpy-overhead
+        # bound on the 1-core pipelined host path)
+        pre = self._boundary_precomp(bounds)
 
         plans: list[SuperframePlan] = []
-        # one compiled solve shape per REQUESTED group size, not per
-        # realized span count: a total_blocks-capped final group (end of
-        # a finite stream) has fewer spans, and deriving the bucket from
-        # len(spans) would hand that last group a fresh grid length —
-        # exactly the ~1.4 s mid-stream XLA CPU compile the padding
-        # exists to avoid (see padding note below)
-        n_bucket = n_superframes * max_blocks + 1
         i = 0
         while i < len(spans):
             j = i                  # contiguous run on one ephemeris set
             while j + 1 < len(spans) and spans[j + 1][2] == spans[i][2]:
                 j += 1
             # One batched range solve per run — over the 12 CHANNEL
-            # SLOTS, not all 32 SVs: satpos is vmapped elementwise per
+            # SLOTS, not all 32 SVs: satpos is elementwise per
             # satellite, so solving the sv_idx-gathered ephemeris gives
             # bit-identical columns at ~2.7x less host compute (the
             # pipelined stream is host-bound).  A boundary update
             # inside the run can re-allocate slots; the guard re-solves
             # the remaining spans with the new sv_idx when that happens
             # (rise/set cadence is ~minutes, so typically 1 solve/run).
-            # Every grid is PADDED to the one n_bucket shape (repeating
-            # the last epoch; padded rows are sliced off): eph-set
-            # splits and mid-run re-solves otherwise produce
-            # odd-length grids, and each fresh length costs a ~1.4 s
-            # XLA CPU compile — measured as a 3x pipelined-rate hit the
-            # first time a stream crossed a rise/set boundary.
+            # Grids are exact-length: the old padding to one canonical
+            # shape existed for the jitted solve's XLA compile cache
+            # (~1.4 s per fresh grid length) and died with the round-5
+            # numpy port.
             k = i
             while k <= j:
                 jblk0 = spans[k][0]
                 total = spans[j][0] + spans[j][1] - jblk0
                 ks = jblk0 + np.arange(total + 1)
-                if total + 1 < n_bucket:
-                    ks = np.concatenate(
-                        [ks, np.full(n_bucket - (total + 1), ks[-1])])
                 g_secs, g_weeks, rx = self._grid_arrays(ks)
                 sv_idx = self.state.sv_idx.copy()
                 eph_sub = _gather_eph(self.rin.eph[spans[i][2]], sv_idx)
                 rho = solve_ranges_lean(eph_sub, self.ionoutc, g_secs, rx)
-                rho = {kk: np.asarray(v)[:total + 1]
-                       for kk, v in rho.items()}
                 while k <= j:
                     if not np.array_equal(self.state.sv_idx, sv_idx):
                         break      # slots changed mid-run: re-solve rest
@@ -310,13 +306,45 @@ class Scheduler:
                     off = jb - jblk0
                     rho_s = {kk: v[off:off + M + 1]
                              for kk, v in rho.items()}
-                    plan = self.plan(M, rho=rho_s, rho_in_slots=True)
+                    plan = self.plan(M, rho=rho_s, rho_in_slots=True,
+                                     alloc_precomp=pre.get(k))
                     assert plan is not None and plan.n_blocks == M, \
                         "plan_group span simulation diverged from plan()"
                     plans.append(plan)
                     k += 1
             i = j + 1
         return plans
+
+    def _boundary_precomp(self, bounds: dict[int, tuple[int, int]]) -> dict:
+        """Batched boundary-allocation visibility: {key: (jblk, ieph)}
+        -> {key: {"vis": [32], "azel": [32, 2]}} with ONE
+        check_visibility call per run of boundaries sharing an eph set
+        (instead of one tiny [32] solve inside every _boundary_update —
+        pure numpy per-op overhead on the host-bound critical path).
+        ieph is the POST-rollover set, matching the set
+        _boundary_update's allocation pass uses; values are
+        bit-identical to the per-boundary scalar calls (satpos/geodesy
+        are elementwise over the epoch axis).  The allocator's range
+        solves stay lazy (allocate_channels only runs them when a rise
+        event claims a slot)."""
+        if not bounds:
+            return {}
+        keys = list(bounds)
+        out: dict = {}
+        i = 0
+        while i < len(keys):
+            j = i                  # contiguous run on one ephemeris set
+            while j + 1 < len(keys) and \
+                    bounds[keys[j + 1]][1] == bounds[keys[i]][1]:
+                j += 1
+            ks = np.array([bounds[k][0] for k in keys[i:j + 1]])
+            g_secs, _, rx = self._grid_arrays(ks)
+            vis, azel = orbits.check_visibility(
+                self.rin.eph[bounds[keys[i]][1]], g_secs, rx)
+            for r, k in enumerate(keys[i:j + 1]):
+                out[k] = {"vis": vis[r], "azel": azel[r]}
+            i = j + 1
+        return out
 
     def skip(self, n_blocks: int) -> None:
         """Advance n_blocks without planning — O(boundaries) host work.
@@ -327,18 +355,23 @@ class Scheduler:
         stop epoch and the 30 s boundary updates (nav refresh, rollover,
         re-allocation).  The stop epochs and their eph sets are
         deterministic (independent of channel state), so like
-        plan_group the range solves batch into ONE jitted call per run
-        of stops sharing an ephemeris set.  Downstream plans are
+        plan_group the range solves batch into ONE slot-gathered numpy
+        solve per run of stops sharing an ephemeris set, and the
+        boundary allocation visibilities into one batched solve per
+        run.  Downstream plans are
         bit-identical to a plan() loop over the same span
         (test_host_partition_concatenates_identically) — this is the
         host-partition entry point that replaces the reference's
         strictly sequential loop (plutogpssim.c:2655-2806) at host
         scale."""
-        # pre-simulate (stop block, eph set at the stop): ieph advances
-        # only at 30 s boundaries via the deterministic
-        # advance_ephemeris_set, mirroring _boundary_update; each stop's
-        # anchor solve uses the PRE-rollover set (c:2774-2790 semantics)
-        stops: list[tuple[int, int]] = []
+        # pre-simulate (stop block, pre-rollover eph set, boundary flag,
+        # post-rollover eph set): ieph advances only at 30 s boundaries
+        # via the deterministic advance_ephemeris_set, mirroring
+        # _boundary_update; each stop's anchor solve uses the
+        # PRE-rollover set (c:2774-2790 semantics), the boundary
+        # allocation pass the POST set
+        stops: list[tuple[int, int, bool, int]] = []
+        bounds: dict[int, tuple[int, int]] = {}
         left = int(n_blocks)
         jblk, ieph = self.jblk, self.ieph
         while left > 0:
@@ -347,40 +380,55 @@ class Scheduler:
             M = min(rem if rem > 0 else 300, left)
             jblk += M
             left -= M
-            stops.append((jblk, ieph))
+            pre_set = ieph
             t_end = self._epoch_time(jblk)
-            if int(round(t_end.sec * 10.0)) % 300 == 0:
+            bnd = int(round(t_end.sec * 10.0)) % 300 == 0
+            if bnd:
                 ieph = scenario_mod.advance_ephemeris_set(
                     self.rin, ieph, t_end)
+                bounds[len(stops)] = (jblk, ieph)
+            stops.append((jblk, pre_set, bnd, ieph))
+
+        # batched boundary-allocation visibility, as in plan_group
+        pre = self._boundary_precomp(bounds)
 
         i = 0
         while i < len(stops):
             j = i                  # contiguous run on one ephemeris set
             while j + 1 < len(stops) and stops[j + 1][1] == stops[i][1]:
                 j += 1
-            ks = np.array([s[0] for s in stops[i:j + 1]])
-            # pad the grid to the next power of two (repeating the last
-            # stop) so deep fast-forwards reuse a handful of compiled
-            # solve shapes instead of one per distinct boundary count
-            n_real = len(ks)
-            n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
-            ks = np.concatenate([ks, np.full(n_pad - n_real, ks[-1])])
-            g_secs, _, rx = self._grid_arrays(ks)
-            rho = solve_ranges_lean(self.rin.eph[stops[i][1]], self.ionoutc,
-                                    g_secs, rx)
-            rng_all = np.asarray(rho["range"])
-            azel_all = np.asarray(rho["azel"])
-            for r, (jb, _) in enumerate(stops[i:j + 1]):
-                self.jblk = jb
-                st = self.state
-                act = st.active
-                rng = rng_all[r, st.sv_idx]
-                azel = azel_all[r, st.sv_idx, :]
-                st.rho0_range = np.where(act, rng, st.rho0_range)
-                st.azel = np.where(act[:, None], azel, st.azel)
-                t_end = self._epoch_time(jb)
-                if int(round(t_end.sec * 10.0)) % 300 == 0:
-                    self._boundary_update(t_end)
+            # anchor solves gathered to the 12 channel slots, like
+            # plan_group (bit-identical columns, ~2.7x less host
+            # compute); a boundary re-allocation inside the run changes
+            # sv_idx, so the guard re-solves the remaining stops with
+            # the new slots.  Grids are exact-length (the old
+            # power-of-two padding served the jitted solve's compile
+            # cache, gone with the round-5 numpy port).
+            k = i
+            while k <= j:
+                sv_idx = self.state.sv_idx.copy()
+                eph_sub = _gather_eph(self.rin.eph[stops[i][1]], sv_idx)
+                ks = np.array([s[0] for s in stops[k:j + 1]])
+                g_secs, _, rx = self._grid_arrays(ks)
+                rho = solve_ranges_lean(eph_sub, self.ionoutc, g_secs, rx)
+                rng_all = np.asarray(rho["range"])
+                azel_all = np.asarray(rho["azel"])
+                r = 0
+                while k <= j:
+                    if not np.array_equal(self.state.sv_idx, sv_idx):
+                        break      # slots changed mid-run: re-solve rest
+                    jb, _, bnd, _ = stops[k]
+                    self.jblk = jb
+                    st = self.state
+                    act = st.active
+                    st.rho0_range = np.where(act, rng_all[r],
+                                             st.rho0_range)
+                    st.azel = np.where(act[:, None], azel_all[r], st.azel)
+                    if bnd:
+                        self._boundary_update(self._epoch_time(jb),
+                                              pre.get(k))
+                    k += 1
+                    r += 1
             i = j + 1
 
     def _bits_table(self) -> np.ndarray:

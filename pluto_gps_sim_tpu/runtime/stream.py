@@ -73,21 +73,19 @@ class IqStream:
             raise ValueError(f"unknown synthesis mode {mode!r}")
         if mesh is not None and mode != "pallas":
             raise ValueError("mesh sharding requires mode='pallas'")
+        # blocks beyond the fused kernel's Q24 range (fs > 5.24 MHz at
+        # 0.1 s blocks) split into K equal re-anchored sub-blocks
+        # (ops.synth_jnp.split_plan) — sub-blocks are just shorter rows
+        # of the kernel's outer grid axis, so the flagship path covers
+        # ANY -s >= 1 MHz like the reference (c:2326-2329); _finish
+        # reassembles [M*K, sub] -> [M, N].  (Round 4 fell back to the
+        # tiled XLA path here instead.)
+        self._split_k = 1
         if mode == "pallas":
             from ..ops.synth_pallas import MAX_BLOCK_SAMPLES
-            if self.sched.block_samples > MAX_BLOCK_SAMPLES:
-                if mesh is not None:
-                    raise ValueError(
-                        f"block_samples={self.sched.block_samples} exceeds "
-                        f"the fused kernel's Q24 range "
-                        f"({MAX_BLOCK_SAMPLES}; fs <= 5.24 MHz at 0.1 s "
-                        f"blocks) and mesh sharding has no tiled fallback")
-                import warnings
-                warnings.warn(
-                    f"block_samples={self.sched.block_samples} exceeds the "
-                    f"fused kernel's Q24 range ({MAX_BLOCK_SAMPLES}); "
-                    f"using the tiled XLA path", stacklevel=2)
-                mode = "tiled"
+            n = self.sched.block_samples
+            if n > MAX_BLOCK_SAMPLES:
+                self._split_k = -(-n // MAX_BLOCK_SAMPLES)
         self.mode = mode
         self.device = device
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
@@ -291,15 +289,22 @@ class IqStream:
         from ..ops import synth_pallas as sp
 
         dps = [self._pack(p) for p in plans]
-        pairs = [sp.build_block_params(dp) for dp in dps]
-        self.patch_dropped += sum(p.patch_dropped for p in pairs)
-        prmi = np.concatenate([p.prmi for p in pairs], axis=0)
-        prmf = np.concatenate([p.prmf for p in pairs], axis=0)
+        n_orig = dps[0].block_samples
+        if self._split_k > 1:
+            from ..ops.synth_jnp import split_plan
+            dps = [split_plan(dp, sp.MAX_BLOCK_SAMPLES) for dp in dps]
+        # one batched build for the whole group (bit-identical to
+        # per-plan builds + concat; amortizes numpy per-op dispatch,
+        # the host-bound pipeline's dominant control cost after the
+        # range solve)
+        bp = sp.build_group_params(dps)
+        self.patch_dropped += bp.patch_dropped
+        prmi, prmf = bp.prmi, bp.prmf
         ca_tabs = self._pack_ca_group([dp.ca2 for dp in dps])
         sf_map = np.concatenate(
             [np.full(dp.n_blocks, i, np.int32)
              for i, dp in enumerate(dps)])
-        return ("pallas", dps[0], prmi, prmf, ca_tabs, sf_map)
+        return ("pallas", dps[0], prmi, prmf, ca_tabs, sf_map, n_orig)
 
     def _pack_ca_group(self, ca2s: list) -> np.ndarray:
         """pack_ca_tables through the per-stream packed-table cache.
@@ -326,10 +331,10 @@ class IqStream:
         """Start the device work for a prepared group; returns the
         opaque handle _finish/_device_view consume."""
         if prep[0] == "pallas":
-            _, dp0, prmi, prmf, ca_tabs, sf_map = prep
+            _, dp0, prmi, prmf, ca_tabs, sf_map, n_orig = prep
             out = self._launch_pallas(prmi, prmf, ca_tabs, sf_map,
                                       dp0.block_samples)
-            return ("packed", out, dp0)
+            return ("packed", out, (dp0, n_orig))
         dps = prep[1]
         if len(dps) == 1:
             return self._dispatch(dps[0])
@@ -387,7 +392,16 @@ class IqStream:
         if kind == "multi":
             return np.concatenate([self._finish(h) for h in out], axis=0)
         from ..ops.synth_pallas import unpack_iq
-        return unpack_iq(out, dp.block_samples)
+        dp0, n_orig = dp
+        iq = unpack_iq(out, dp0.block_samples)     # [M*K, sub, 2]
+        if self._split_k > 1:
+            # reassemble sub-blocks into scenario blocks; the last
+            # sub-block of each row extrapolated past the true block
+            # end (split_plan), so trim K*sub -> N
+            k = self._split_k
+            iq = iq.reshape(iq.shape[0] // k, k * iq.shape[1], 2)
+            iq = iq[:, :n_orig]
+        return iq
 
     def _pack(self, plan) -> DevicePlan:
         return pack_plan(plan, tables=self.mode != "pallas")

@@ -388,7 +388,7 @@ def solve_fix(eph, ionoutc, t_tx: dict, x0=None, t0=None,
     t_rx = (float(np.max(tt)) + 0.075) if t0 is None else float(t0)
 
     def prange(xv, tv):
-        # compute_range is @cpu_jit: f64-exact on the host backend
+        # compute_range is pure numpy f64 on the host (models/orbits.py)
         r = orbits.compute_range(eph, ionoutc, tv, xv)
         return np.asarray(r["range"])[idx]
 

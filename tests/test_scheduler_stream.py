@@ -451,13 +451,14 @@ def test_restore_rejects_incomplete_snapshot(rinex):
         s.restore(snap)
 
 
-def test_plan_group_solve_shapes_fixed(rinex):
-    """Every plan_group range solve uses the ONE padded grid shape
-    (n_superframes*max_blocks + 1), including ephemeris-set splits and
-    mid-run re-solves after a rise/set re-allocation: a fresh grid
-    length costs a ~1.4 s XLA CPU compile, which collapsed the
-    pipelined stream rate 3x the first time it crossed a rise/set
-    boundary (scheduler.py plan_group padding note)."""
+def test_plan_group_solve_grids_exact(rinex):
+    """plan_group's range solves cover exactly the spans they feed — no
+    padding (the old canonical-shape padding served the jitted solve's
+    XLA compile cache, retired by the round-5 numpy port) — and the
+    mid-run re-solve branch after a rise/set re-allocation still fires
+    and still produces plans identical to a plan() loop (the
+    equivalence tests above own the values; this pins the solve-call
+    pattern)."""
     from pluto_gps_sim_tpu.runtime import scheduler as sched_mod
 
     g0 = setup_scenario(rinex, None)
@@ -481,11 +482,14 @@ def test_plan_group_solve_shapes_fixed(rinex):
         sched_mod.solve_ranges_lean = orig
 
     assert len(lengths) >= 5
-    assert set(lengths) == {8 * 300 + 1}, lengths
-    # the scenario must actually exercise the guarded paths this test
-    # exists to pin at the fixed grid shape: a rise/set re-allocation
-    # happens (sv_idx changes) and it lands MID-RUN, forcing the
-    # re-solve branch (more solves than groups)
+    # exact-length grids: never longer than the group span, and the
+    # per-group solves tile it (5 groups x 2400 blocks + 1 epoch each
+    # + re-solve overlap epochs)
+    assert max(lengths) <= 8 * 300 + 1, lengths
+    assert sum(lengths) >= 5 * (8 * 300 + 1), lengths
+    # the scenario must actually exercise the guarded re-solve path:
+    # a rise/set re-allocation happens (sv_idx changes) and it lands
+    # MID-RUN, forcing the re-solve branch (more solves than groups)
     assert any(not np.array_equal(a, b)
                for a, b in zip(sv_hist, sv_hist[1:])), \
         "scenario never re-allocated channels; re-solve branch untested"
@@ -493,12 +497,11 @@ def test_plan_group_solve_shapes_fixed(rinex):
         "re-allocation never landed mid-run; re-solve branch untested"
 
 
-def test_plan_group_final_capped_group_keeps_grid_shape(rinex):
+def test_plan_group_final_capped_group_solves_exact_span(rinex):
     """A total_blocks-capped FINAL dispatch group (end of a finite
-    stream) has fewer spans than requested, but must still pad its
-    range-solve grid to the canonical n_superframes*max_blocks + 1
-    shape — a fresh grid length there costs the same ~1.4 s mid-stream
-    XLA CPU compile the padding exists to avoid."""
+    stream) has fewer spans than requested; its range solve covers
+    exactly the capped span (500 blocks -> 501 epochs), not the full
+    group shape."""
     from pluto_gps_sim_tpu.runtime import scheduler as sched_mod
 
     g0 = setup_scenario(rinex, None)
@@ -515,10 +518,69 @@ def test_plan_group_final_capped_group_keeps_grid_shape(rinex):
     sched_mod.solve_ranges_lean = spy
     try:
         full = s.plan_group(8)                       # steady-state group
+        lengths.clear()
         capped = s.plan_group(8, total_blocks=500)   # final short group
     finally:
         sched_mod.solve_ranges_lean = orig
 
     assert len(full) == 8 and len(capped) == 2
     assert sum(p.n_blocks for p in capped) == 500
-    assert set(lengths) == {8 * 300 + 1}, lengths
+    assert sum(n - 1 for n in lengths) == 500, lengths
+
+
+def test_split_plan_lifts_block_cap(rinex, monkeypatch):
+    """ops.synth_jnp.split_plan: blocks beyond the fused kernel's Q24
+    range split into K re-anchored sub-blocks.  Checks (at small sizes,
+    with the cap monkeypatched down so the split path engages):
+    (1) interpret-mode pallas on the split plan == precise on the split
+    plan, sample-exact; (2) reassembled split-precise tracks UNSPLIT
+    precise (the re-anchor rounding is ~1e-10 chips — allow a handful
+    of chip-edge straddles); (3) IqStream in pallas mode transparently
+    splits and yields [M, N, 2] rows that match the unsplit tiled
+    stream within the shared quantization floor."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        pack_plan, split_plan, synth_superframe_precise)
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    N = 49152                       # 3 sub-blocks of 16384
+    sched = Scheduler(rinex, g0, ieph, _xyz(), fs=FS, block_samples=N)
+    plan = sched.plan(4)
+    dp = pack_plan(plan)            # tables for the precise path
+    dp_s = split_plan(dp, 16384)
+    assert dp_s.n_blocks == 4 * 3 and dp_s.block_samples == 16384
+
+    golden_s = synth_superframe_precise(dp_s)        # [M*K, sub, 2]
+    prm = sp.build_group_params([dp_s])
+    assert prm.patch_dropped == 0
+    packed = np.asarray(sp.synth_blocks_pallas(
+        prm, sp.pack_ca_tables([dp_s.ca2]),
+        np.zeros(dp_s.n_blocks, np.int32), dp_s.block_samples,
+        interpret=True))[:, :dp_s.block_samples]
+    got = sp.unpack_iq(packed)
+    assert np.array_equal(got, golden_s), (
+        f"{int((got != golden_s).sum())} components diverge "
+        f"(split pallas vs split precise)")
+
+    golden_u = synth_superframe_precise(dp)          # [M, N, 2]
+    re_s = golden_s.reshape(4, 3 * 16384, 2)[:, :N]
+    bad = int((re_s != golden_u).sum())
+    assert bad <= 8, f"{bad} split-vs-unsplit precise mismatches"
+
+    # stream-level: pallas mode splits transparently when block_samples
+    # exceeds the (patched) kernel cap
+    monkeypatch.setattr(sp, "MAX_BLOCK_SAMPLES", 16384)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=N,
+                 mode="pallas")
+    assert s._split_k == 3
+    t = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=N,
+                 mode="tiled")
+    got_s = np.concatenate(list(s.superframes(4, max_blocks=2)), axis=0)
+    want_t = np.concatenate(list(t.superframes(4, max_blocks=2)), axis=0)
+    assert got_s.shape == want_t.shape == (4, N, 2)
+    d = np.abs(got_s.astype(np.int32) - want_t.astype(np.int32))
+    # pallas-split and tiled anchor their NCOs at different offsets, so
+    # a few samples may straddle the shared ~1e-11-chip trunc floor
+    assert int((d > 0).sum()) <= 8 and int(d.max()) <= 8, (
+        int((d > 0).sum()), int(d.max()))

@@ -102,13 +102,16 @@ def test_neu_azel():
     assert abs(azel[0] - 3 * math.pi / 2) < 1e-9
 
 
-def test_vmapped_geodesy():
-    import jax
-
+def test_batched_geodesy():
+    """xyz2llh broadcasts over leading axes (the round-5 numpy port
+    replaced vmap with plain broadcasting) and the batched rows match
+    the per-point calls bit-for-bit."""
     pts = np.array([[6378137.0 + h, 1000.0 * h, 2000.0] for h in range(8)])
-    out = jax.vmap(xyz2llh)(pts)
+    out = np.asarray(xyz2llh(pts))
     assert out.shape == (8, 3)
-    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.all(np.isfinite(out))
+    for i in range(8):
+        assert np.array_equal(out[i], np.asarray(xyz2llh(pts[i])))
 
 
 def test_inc_gps_time_grid_matches_scalar():

@@ -104,6 +104,35 @@ def test_compiled_pallas_fs5mhz(fixture_paths):
     _assert_tracks_precise(got, golden, "compiled pallas fs=5MHz")
 
 
+def test_compiled_pallas_fs10mhz_split(fixture_paths):
+    """fs=10 MHz: 1M-sample blocks exceed the kernel's Q24 range and
+    split into 2 re-anchored 500k sub-blocks (ops.synth_jnp.split_plan,
+    round 5 — the reference accepts any -s >= 1 MHz, c:2326-2329; round
+    4 fell back to the tiled path here).  The compiled kernel on the
+    split plan must track the split precise path at the standard bound,
+    and the reassembled rows must track the UNSPLIT precise path."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import (
+        split_plan, synth_superframe_precise)
+    dp = _scenario(fixture_paths, fs=10_000_000.0)
+    assert dp.block_samples > sp.MAX_BLOCK_SAMPLES
+    dp_s = split_plan(dp, sp.MAX_BLOCK_SAMPLES)
+    k = dp_s.n_blocks // dp.n_blocks
+    golden_s = synth_superframe_precise(dp_s)
+    out = np.asarray(sp.synth_blocks_pallas(
+        sp.build_group_params([dp_s]), sp.pack_ca_tables([dp_s.ca2]),
+        np.zeros(dp_s.n_blocks, np.int32), dp_s.block_samples,
+        device=_tpu()))[:, :dp_s.block_samples]
+    got = np.stack([(out & 0xFFFF).astype(np.uint16).view(np.int16),
+                    (out >> 16).astype(np.int16)], axis=-1)
+    _assert_tracks_precise(got, golden_s, "compiled pallas fs=10MHz split")
+    golden_u = synth_superframe_precise(dp)
+    re_s = got.reshape(dp.n_blocks, k * dp_s.block_samples,
+                       2)[:, :dp.block_samples]
+    _assert_tracks_precise(re_s, golden_u,
+                           "compiled pallas fs=10MHz vs unsplit precise")
+
+
 def test_compiled_production_group_rollover(fixture_paths):
     """450 s including an ephemeris rollover through the PRODUCTION
     dispatch path — the exact compiled artifact bench.py times:
