@@ -183,7 +183,7 @@ def ionospheric_delay(ionoutc: IonoUtc, g_sec: np.ndarray, llh: np.ndarray,
 
 
 def compute_range(eph: Ephemerides, ionoutc: IonoUtc, g_sec: np.ndarray,
-                  xyz: np.ndarray, lean: bool = False):
+                  xyz: np.ndarray, lean: bool = False, sat_pvc=None):
     """Pseudorange/rate/az-el/iono at receiver ECEF `xyz` [..., 3]
     (plutogpssim.c:1691-1747).
 
@@ -192,11 +192,16 @@ def compute_range(eph: Ephemerides, ionoutc: IonoUtc, g_sec: np.ndarray,
     appended.  Returns dict with keys: range, d, azel [..,2] (plus rate
     and iono_delay unless lean=True — the planning path consumes only
     the lean keys; values are identical either way, lean just skips the
-    rate dot product the reference also computes-but-drops, c:1731)."""
+    rate dot product the reference also computes-but-drops, c:1731).
+
+    sat_pvc: optional precomputed satpos(eph, g_sec[..., None]) triple —
+    satellite states are receiver-independent, so batched callers
+    (ops.epoch.solve_ranges_batch*) hoist them out of the per-receiver
+    chunk loop."""
     g = np.asarray(g_sec, dtype=np.float64)[..., None]   # [..., 1] vs [32]
     xyz = np.asarray(xyz, dtype=np.float64)
     x = xyz[..., None, :]                                # [..., 1, 3]
-    pos, vel, clk = satpos(eph, g)
+    pos, vel, clk = satpos(eph, g) if sat_pvc is None else sat_pvc
 
     los = pos - x
     tau = np.linalg.norm(los, axis=-1) / SPEED_OF_LIGHT

@@ -68,12 +68,43 @@ def solve_ranges_lean(eph: Ephemerides, ionoutc: IonoUtc,
     return orbits.compute_range(eph, ionoutc, g_secs, rx_pos, lean=True)
 
 
+# receiver-chunk size for the batched solves: per-op numpy temps are
+# [chunk, n_epochs, 32] f64 — at 16 receivers x 301 epochs that is
+# ~1.2 MB, small enough to stay cache-resident.  One [256, 301, 32]
+# pass measured ~5x slower per element than the chunked form on a
+# 1-core host (every elementwise op streamed 20 MB temps through RAM).
+_BATCH_RX_CHUNK = 16
+
+
+def _solve_batch(eph, ionoutc, g_secs, rx_pos, lean: bool):
+    """Shared body of solve_ranges_batch(_lean): satellite states are
+    receiver-independent, so satpos hoists out of the per-receiver
+    chunk loop (it also carries all the transcendental-heavy Kepler
+    work).  Chunking is elementwise-invisible: outputs are bit-identical
+    to one full-batch compute_range call."""
+    g = np.asarray(g_secs, dtype=np.float64)
+    rx = np.asarray(rx_pos, dtype=np.float64)
+    pvc = orbits.satpos(eph, g[..., None])
+    B = rx.shape[0]
+    out = None
+    for lo in range(0, B, _BATCH_RX_CHUNK):
+        r = orbits.compute_range(eph, ionoutc, g, rx[lo:lo + _BATCH_RX_CHUNK],
+                                 lean=lean, sat_pvc=pvc)
+        if out is None:
+            out = {k: np.empty((B,) + v.shape[1:], v.dtype)
+                   for k, v in r.items()}
+        for k, v in r.items():
+            out[k][lo:lo + _BATCH_RX_CHUNK] = v
+    return out
+
+
 def solve_ranges_batch(eph: Ephemerides, ionoutc: IonoUtc,
                        g_secs, rx_pos):
     """solve_ranges over a receiver batch (Monte-Carlo control plane):
-    one broadcast call for ALL trajectories.  g_secs [n_epochs] (shared
-    clock), rx_pos [B, n_epochs, 3]; returns dict [B, n_epochs, 32]."""
-    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos)
+    one hoisted-satpos chunked pass for ALL trajectories.  g_secs
+    [n_epochs] (shared clock), rx_pos [B, n_epochs, 3]; returns dict
+    [B, n_epochs, 32]."""
+    return _solve_batch(eph, ionoutc, g_secs, rx_pos, lean=False)
 
 
 def solve_ranges_batch_lean(eph: Ephemerides, ionoutc: IonoUtc,
@@ -81,7 +112,7 @@ def solve_ranges_batch_lean(eph: Ephemerides, ionoutc: IonoUtc,
     """solve_ranges_batch restricted to the planning keys (range, d,
     azel).  (The allocation precomp path keeps the full solve:
     _init_channel reads iono_delay.)"""
-    return orbits.compute_range(eph, ionoutc, g_secs, rx_pos, lean=True)
+    return _solve_batch(eph, ionoutc, g_secs, rx_pos, lean=True)
 
 
 def ranges_to_params(rho_range: np.ndarray, rho_d: np.ndarray,

@@ -587,23 +587,31 @@ def build_group_params(dps: list, nudge: bool = True) -> BlockParams:
     # superframe has its own bits table.
     nbmask = np.empty((M, C), np.int32)
     row = 0
+    v64_cache: dict = {}   # Monte-Carlo receivers on a shared clock and
+    # NavCache carry byte-identical bits tables, so the packed sliding
+    # view dedups across the B x n_superframes segments (stream groups
+    # have distinct tables per superframe — the cache is a no-op there)
     for d in dps:
         m_sf = d.active.shape[0]
         # the old per-bit form clipped b0+q to the table end; clamp b0
         # the same way so an out-of-range start reads the replicated
         # final bit
         b0s = np.minimum(b0[row:row + m_sf], d.bits.shape[1] - 1)
-        bits01 = d.bits < 0                                # [C, n_bits]
-        ext = np.concatenate(
-            [bits01, np.repeat(bits01[:, -1:], 39, axis=1)], axis=1)
-        pb = np.packbits(ext, axis=1, bitorder="little")   # [C, ceil/8]
-        pb = np.concatenate([pb, np.zeros((C, 7), np.uint8)], axis=1)
-        sw = np.lib.stride_tricks.sliding_window_view(pb, 8, axis=1)
-        # explicit little-endian byte assembly (endian-neutral, unlike a
-        # .view(uint64) of host-order bytes)
-        v64 = (sw.astype(np.uint64)
-               << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
-                   axis=2, dtype=np.uint64)                # [C, n_wins]
+        key = d.bits.tobytes()
+        v64 = v64_cache.get(key)
+        if v64 is None:
+            bits01 = d.bits < 0                            # [C, n_bits]
+            ext = np.concatenate(
+                [bits01, np.repeat(bits01[:, -1:], 39, axis=1)], axis=1)
+            pb = np.packbits(ext, axis=1, bitorder="little")  # [C, /8]
+            pb = np.concatenate([pb, np.zeros((C, 7), np.uint8)], axis=1)
+            sw = np.lib.stride_tricks.sliding_window_view(pb, 8, axis=1)
+            # explicit little-endian byte assembly (endian-neutral,
+            # unlike a .view(uint64) of host-order bytes)
+            v64 = (sw.astype(np.uint64)
+                   << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+                       axis=2, dtype=np.uint64)            # [C, n_wins]
+            v64_cache[key] = v64
         win = v64[np.arange(C)[None, :], b0s >> 3]         # [m_sf, C]
         nbmask[row:row + m_sf] = (
             (win >> (b0s & 7).astype(np.uint64))

@@ -46,7 +46,7 @@ from ..ops.epoch import (solve_ranges, solve_ranges_batch,
                          solve_ranges_batch_lean)
 from ..ops.synth_jnp import pack_plan
 from ..runtime import scenario as scenario_mod
-from ..runtime.scheduler import Scheduler
+from ..runtime.scheduler import Scheduler, _gather_eph
 from .shard import pad_time_shards, shard_channel_params, synth_sharded
 
 __all__ = ["MonteCarloBatch"]
@@ -155,28 +155,54 @@ class MonteCarloBatch:
             g_secs = s0._grid_arrays(ks)[0]      # shared scenario clock
             rx = np.stack([s._grid_arrays(ks)[2] for s in self.scheds])
             eph = self.rin.eph[spans[i][2]]
-            rho_b = solve_ranges_batch_lean(eph, self.rin.ionoutc,
-                                            g_secs, rx)
-            rho_b = {k: np.asarray(v) for k, v in rho_b.items()}
-
-            for k in range(i, j + 1):
-                jb, M, _, boundary, t_end, post = spans[k]
-                off = jb - jblk0
-                # boundary-allocation precomp (with the eph set in
-                # effect AFTER the clock-driven rollover check,
-                # c:2774-2790)
-                pre = None
-                if boundary:
-                    pre = self._alloc_precomp(
-                        self.rin.eph[post], t_end, rx[:, off + M])
-                for b, sched in enumerate(self.scheds):
-                    rho = {kk: v[b, off:off + M + 1]
-                           for kk, v in rho_b.items()}
-                    plan = sched.plan(M, rho=rho,
-                                      alloc_precomp=None if pre is None
-                                      else pre[b])
-                    assert plan.n_blocks == M, "schedulers lost clock sync"
-                    per_b[b].append(plan)
+            # solve over the UNION of all receivers' allocated SVs
+            # (typically ~8 of 32 — same per-satellite-elementwise
+            # bit-identity argument as Scheduler.plan_group's slot
+            # gather), each receiver's slot columns gathered back out;
+            # a boundary re-allocation that claims an SV outside the
+            # union triggers a re-solve of the remaining spans
+            k = i
+            while k <= j:
+                union = np.unique(np.concatenate(
+                    [s.state.sv_idx for s in self.scheds]))
+                eph_u = _gather_eph(eph, union)
+                off0 = spans[k][0] - jblk0
+                rho_b = solve_ranges_batch_lean(
+                    eph_u, self.rin.ionoutc, g_secs[off0:],
+                    rx[:, off0:])
+                rho_b = {kk: np.asarray(v) for kk, v in rho_b.items()}
+                while k <= j:
+                    # per-span slot->union column maps (re-allocation at
+                    # a boundary inside the chunk may move slots WITHIN
+                    # the union — re-gather — or outside it — re-solve)
+                    idx = [np.minimum(
+                        np.searchsorted(union, s.state.sv_idx),
+                        len(union) - 1) for s in self.scheds]
+                    if any(not np.array_equal(
+                            union[idx[b]], self.scheds[b].state.sv_idx)
+                           for b in range(self.B)):
+                        break      # slots left the union: re-solve rest
+                    jb, M, _, boundary, t_end, post = spans[k]
+                    off = jb - jblk0 - off0
+                    # boundary-allocation precomp (with the eph set in
+                    # effect AFTER the clock-driven rollover check,
+                    # c:2774-2790)
+                    pre = None
+                    if boundary:
+                        pre = self._alloc_precomp(
+                            self.rin.eph[post], t_end,
+                            rx[:, jb - jblk0 + M])
+                    for b, sched in enumerate(self.scheds):
+                        rho = {kk: v[b, off:off + M + 1][:, idx[b]]
+                               for kk, v in rho_b.items()}
+                        plan = sched.plan(
+                            M, rho=rho, rho_in_slots=True,
+                            alloc_precomp=None if pre is None
+                            else pre[b])
+                        assert plan.n_blocks == M, \
+                            "schedulers lost clock sync"
+                        per_b[b].append(plan)
+                    k += 1
             i = j + 1
         # C/A tables dedupe by chip-table bytes: receivers near each
         # other see the same satellites, so B=256 plans typically share
