@@ -119,26 +119,35 @@ def _env_fingerprint(tpu) -> dict:
           "loadavg1": round(os.getloadavg()[0], 2)}
     try:
         with jax.enable_x64(False):
-            tiny = jax.device_put(jnp.zeros((1,), jnp.int32), tpu)
-            tiny.block_until_ready()
+            # DISTINCT pre-staged arrays per rep: jax caches the host
+            # copy after the first np.asarray of a given buffer (and the
+            # tunnel may cache identical calls), so timing a repeated
+            # fetch of one array reads ~0 ms
+            tinies = [jax.device_put(jnp.full((1,), i, jnp.int32), tpu)
+                      for i in range(5)]
+            for t_ in tinies:
+                t_.block_until_ready()
             ts = []
-            for _ in range(5):
+            for t_ in tinies:
                 t0 = time.time()
-                np.asarray(tiny)
+                np.asarray(t_)
                 ts.append(time.time() - t0)
             fp["tunnel_rtt_ms"] = round(float(np.median(ts)) * 1e3, 1)
-            buf = np.zeros(16 * 1024 * 1024, np.int32)   # 64 MB probe
+            bufs = [np.full(16 * 1024 * 1024, i, np.int32)  # 64 MB each
+                    for i in range(3)]
             ts = []
-            for _ in range(3):
+            devs = []
+            for b in bufs:
                 t0 = time.time()
-                dev = jax.device_put(buf, tpu)
-                dev.block_until_ready()
+                d = jax.device_put(b, tpu)
+                d.block_until_ready()
                 ts.append(time.time() - t0)
+                devs.append(d)
             fp["h2d_MBps"] = round(64.0 / float(np.median(ts)), 1)
             ts = []
-            for _ in range(3):
+            for d in devs:
                 t0 = time.time()
-                np.asarray(dev)
+                np.asarray(d)
                 ts.append(time.time() - t0)
             fp["d2h_MBps"] = round(64.0 / float(np.median(ts)), 1)
     except Exception as e:                    # fingerprint must not kill bench
