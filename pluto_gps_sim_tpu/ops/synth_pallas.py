@@ -460,6 +460,12 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
         # 0..w-1 (the kernel's fori_loop indexes slots by SUBLANE —
         # dynamic lane indexing is not lowerable).  Static slices +
         # pads; XLA fuses this into the transfer epilogue.
+        if not patches:
+            # patch-free dispatch (the common case since the gain
+            # nudge): planes ship NARROW ([M, 128], half the H2D bytes —
+            # the parameter upload is a visible cost on slow links) and
+            # rows 1..7 zero-fill on device
+            return jnp.pad(p[:, None, :], ((0, 0), (0, 7), (0, 0)))
         rows = [p[:, None, :_LANES]]
         for k in range(_N_PATCH):
             seg = p[:, _LANES + w * k:_LANES + w * (k + 1)]
@@ -468,8 +474,9 @@ def _build_fn(n_blocks: int, n_tiles: int, n_sf: int,
 
     def fn(sf_map, prmi, prmf, ca_tabs, rawtab):
         # params ship as [M, 256] (2 KB/block over the host link: row 0
-        # per-channel params, the rest packed patch slots) and expand on
-        # device into the kernel's [M, 8, 128] VMEM tile
+        # per-channel params, the rest packed patch slots; [M, 128] when
+        # the dispatch is patch-free) and expand on device into the
+        # kernel's [M, 8, 128] VMEM tile
         return call(sf_map, expand(prmi, _SLOT_I_W),
                     expand(prmf, _SLOT_F_W), ca_tabs, rawtab)
 
@@ -884,12 +891,17 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
         f"padded block ({nt * tile}) exceeds the Q24/Q36 ramp range"
     # compile the gain-trunc patch pass out when the (host-visible)
     # param plane provably carries no patch slots — the common case for
-    # short scenarios and synthetic params, and it keeps interpret-mode
-    # XLA-CPU graphs small
+    # every scenario since the gain nudge, and it keeps interpret-mode
+    # XLA-CPU graphs small; patch-free dispatches also ship the planes
+    # NARROW (their patch half is all zero — half the H2D bytes, a
+    # visible cost on slow host links)
     patches = not (isinstance(prmf, np.ndarray)
                    and not np.any(prmf[:, _LANES:]))
     fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile,
                    patches)
+    if not patches:
+        prmi = np.ascontiguousarray(np.asarray(prmi)[:, :_LANES])
+        prmf = np.ascontiguousarray(prmf[:, :_LANES])
     args = [jnp.asarray(sf_map, jnp.int32), jnp.asarray(prmi),
             jnp.asarray(prmf), jnp.asarray(ca2_tables),
             jnp.asarray(_RAWTAB)]

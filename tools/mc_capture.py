@@ -47,24 +47,39 @@ def main() -> None:
     csum = jax.jit(lambda o: jnp.sum(o), device=tpu)
 
     def run():
+        import collections
         t0 = time.time()
         mc = MonteCarloBatch(rin, g0, ieph, xyz, fs=2_600_000.0)
         t_init = time.time() - t0
         t0 = time.time()
         total = 0
         done = 0
+        pending: collections.deque = collections.deque()
         # 3000-block chunks: two live on device (one-deep pipeline), so
-        # ~6.3 GB of packed IQ resident — fits a 16 GB chip with room
+        # ~6.3 GB of packed IQ resident — fits a 16 GB chip with room.
+        # lag-1 sync consumer (bench._pipelined_child rationale): fetch
+        # chunk k-1's 8 B sum after dispatching chunk k's reduction, so
+        # the tunnel's ~40 ms flat roundtrip overlaps synthesis
         for off, dev in mc.superframes(n_blocks, device=tpu,
                                        chunk_blocks=3000, as_device=True):
-            total += int(np.asarray(csum(dev)))
+            pending.append(csum(dev))
+            while len(pending) > 1:
+                total += int(np.asarray(pending.popleft()))
             done += dev.shape[0]
+        while pending:
+            total += int(np.asarray(pending.popleft()))
         t_dev = time.time() - t0
         assert done == B * n_blocks and total != 0
         return t_init, mc.control_seconds, t_dev, mc.patch_dropped
 
     run()                                   # cold: compiles + page-in
-    runs = [run() for _ in range(3)]
+    runs = []
+    for _ in range(3):
+        # let the previous run's ~6 GB of device buffers deallocate and
+        # the tunnel chatter drain before timing the next control phase
+        # (measured: back-to-back runs inflate control 2-3x)
+        time.sleep(3.0)
+        runs.append(run())
     t_init = min(r[0] for r in runs)
     t_ctrl = min(r[1] for r in runs)
     t_dev = min(r[2] for r in runs)
