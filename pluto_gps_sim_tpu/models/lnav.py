@@ -428,20 +428,24 @@ class NavRefresher:
 
         dwrd[:, :N_DWRD_SBF] = dwrd[:, N_DWRD_SBF * N_SBF:]
         st, p0 = self._static, self._p0
-        for isbf in range(N_SBF):
-            tow += 1
-            base = (isbf + 1) * N_DWRD_SBF
-            dwrd[:, base:base + N_DWRD_SBF] = st[:, isbf]
-            w = sbf[:, isbf, 1].astype(np.uint32)
-            w |= np.uint32((tow & 0x1FFFF) << 13)
-            w |= p0[:, isbf] << np.uint32(30)
-            how = _checksum_vec(w, True)
-            # the whole cache rests on the nib solve pinning HOW's two
-            # LSBs to 00; a violation would silently corrupt the next
-            # word's chain, so check every frame (two cheap compares)
-            assert not np.any(how & np.uint32(3)), \
-                "nib solve no longer zeroes HOW's parity LSBs"
-            dwrd[:, base + 1] = how
+        # HOW words don't chain to each other (their prev is the cached
+        # TLM LSBs, and the nib solve re-seeds the chain after them), so
+        # all N_SBF of them batch into ONE _checksum_vec over [C, 5] —
+        # the per-subframe loop's ~40 tiny-array popcounts were the
+        # dominant cost of skip()'s boundary updates
+        tows = (np.uint32(tow) + 1 + np.arange(N_SBF, dtype=np.uint32))
+        w = sbf[:, :, 1].astype(np.uint32) \
+            | ((tows & np.uint32(0x1FFFF)) << np.uint32(13))[None, :] \
+            | (p0 << np.uint32(30))
+        how = _checksum_vec(w, True)                       # [C, N_SBF]
+        # the whole cache rests on the nib solve pinning HOW's two
+        # LSBs to 00; a violation would silently corrupt the next
+        # word's chain, so check every frame (one cheap compare)
+        assert not np.any(how & np.uint32(3)), \
+            "nib solve no longer zeroes HOW's parity LSBs"
+        blk = st.copy()                    # [C, N_SBF, N_DWRD_SBF]
+        blk[:, :, 1] = how
+        dwrd[:, N_DWRD_SBF:] = blk.reshape(blk.shape[0], -1)
         return g0
 
 
