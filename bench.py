@@ -428,10 +428,16 @@ def main() -> None:
 
     # host control plane per 30 s superframe — exactly the production
     # stages IqStream._dispatch_group runs (plan_group -> pack ->
-    # build_block_params -> param concat -> C/A tables; NOT build_args,
-    # whose 12-channel cloning is a bench-only worst-case rig).  The
-    # pipelined stream is HOST-bound, so this number sets
-    # e2e_pipelined_x; min-of-3 rejects scheduler noise on shared hosts
+    # build_group_params -> C/A tables; NOT build_args, whose 12-channel
+    # cloning is a bench-only worst-case rig).  The pipelined stream is
+    # HOST-bound, so this number sets e2e_pipelined_x.  Settle first:
+    # the verify gates' device buffers deallocate asynchronously over
+    # the tunnel, and that chatter steals the 1-core host from a timing
+    # pass (one captured artifact read 69.8 ms/sf for a 4.6 ms path);
+    # min-of-5 then rejects residual scheduler noise.
+    del packed_g, tiled_g, out_v
+    time.sleep(3.0)
+
     def _host_pass():
         t0 = time.time()
         plans = sched.plan_group(n_sf, 300)
@@ -441,7 +447,7 @@ def main() -> None:
         return (time.time() - t0) / len(plans)
 
     _PARTIAL["host_ctrl_ms_per_sf"] = round(
-        min(_host_pass() for _ in range(3)) * 1000.0, 1)
+        min(_host_pass() for _ in range(5)) * 1000.0, 1)
 
     # pre-stage parameters on device: they are control-plane data produced
     # at 10 Hz (1 KB/block) and amortize over minutes of signal; this
