@@ -870,13 +870,19 @@ _check_quadrant_identities()
 def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
                         sf_map: np.ndarray, block_samples: int,
                         device=None, packed: bool = True,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        force_patches: bool = False):
     """Run the fused kernel.
 
     prm: build_block_params output (BlockParams, or any sequence whose
     first two elements are the [M,256] int and float parameter planes);
     ca2_tables: [NS, C, 1, 128] int32; sf_map: [M] int32
     block->superframe map.
+    force_patches=True keeps the patch-pass kernel variant (and the wide
+    plane shape) even when this dispatch carries no patch words — a
+    long-lived stream uses it to latch ONE compiled variant after its
+    first patched group instead of flip-flopping shapes (a fresh variant
+    is a ~20-40 s Mosaic compile mid-stream; runtime.stream.IqStream).
     Returns packed int32 IQ [M, n_tiles*TILE_SAMPLES]; trim each row to
     block_samples and .view(int16) for the interleaved stream."""
     prmi, prmf = prm[0], prm[1]
@@ -895,8 +901,8 @@ def synth_blocks_pallas(prm, ca2_tables: np.ndarray,
     # XLA-CPU graphs small; patch-free dispatches also ship the planes
     # NARROW (their patch half is all zero — half the H2D bytes, a
     # visible cost on slow host links)
-    patches = not (isinstance(prmf, np.ndarray)
-                   and not np.any(prmf[:, _LANES:]))
+    patches = force_patches or not (isinstance(prmf, np.ndarray)
+                                    and not np.any(prmf[:, _LANES:]))
     fn = _build_fn(M, nt, ca2_tables.shape[0], packed, interpret, tile,
                    patches)
     if not patches:

@@ -45,7 +45,7 @@ from ..ops import synth_pallas as sp
 from ..ops.epoch import (solve_ranges, solve_ranges_batch,
                          solve_ranges_batch_lean)
 from ..ops.synth_jnp import pack_plan
-from ..runtime import scenario as scenario_mod
+
 from ..runtime.scheduler import Scheduler, _gather_eph
 from .shard import pad_time_shards, shard_channel_params, synth_sharded
 
@@ -119,25 +119,11 @@ class MonteCarloBatch:
         ca_tabs, sf_map = [], []
         per_b = [[] for _ in range(self.B)]
 
-        # pre-simulate the shared-clock spans (deterministic, mirrors
-        # Scheduler.plan_group): (jblk0, M, ieph, boundary, t_end,
-        # post-rollover ieph)
+        # shared-clock span pre-simulation: every scheduler advances in
+        # lockstep, so receiver 0's simulate_spans (the one copy of the
+        # span/boundary/rollover protocol) covers the whole batch
         s0 = self.scheds[0]
-        spans = []
-        jblk, ieph = s0.jblk, s0.ieph
-        left = int(n_blocks)
-        while left > 0:
-            t0 = s0._epoch_time(jblk)
-            rem = (-int(round(t0.sec * 10.0))) % 300
-            M = min(rem if rem > 0 else 300, left)
-            t_end = s0._epoch_time(jblk + M)
-            bnd = int(round(t_end.sec * 10.0)) % 300 == 0
-            post = scenario_mod.advance_ephemeris_set(
-                self.rin, ieph, t_end) if bnd else ieph
-            spans.append((jblk, M, ieph, bnd, t_end, post))
-            jblk += M
-            left -= M
-            ieph = post
+        spans = s0.simulate_spans(total_blocks=int(n_blocks))
 
         i = 0
         while i < len(spans):
@@ -182,7 +168,7 @@ class MonteCarloBatch:
                             union[idx[b]], self.scheds[b].state.sv_idx)
                            for b in range(self.B)):
                         break      # slots left the union: re-solve rest
-                    jb, M, _, boundary, t_end, post = spans[k]
+                    jb, M, _, t_end, boundary, post = spans[k]
                     off = jb - jblk0 - off0
                     # boundary-allocation precomp (with the eph set in
                     # effect AFTER the clock-driven rollover check,

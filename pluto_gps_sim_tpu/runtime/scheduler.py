@@ -157,6 +157,45 @@ class Scheduler:
         rem = (-igrx) % 300
         return rem if rem > 0 else 300
 
+    def simulate_spans(self, max_blocks: int = 300,
+                       n_superframes: int | None = None,
+                       total_blocks: int | None = None) -> list:
+        """Deterministic pre-simulation of the spans a plan()/skip()
+        loop would take from the current state — all host arithmetic,
+        no state change.  One record per span:
+
+            (jblk0, M, eph_pre, t_end, boundary, eph_post)
+
+        eph advances only at 30 s boundaries via the deterministic
+        advance_ephemeris_set, mirroring _boundary_update: eph_pre is
+        the set in effect DURING the span (anchor/plan solves use it —
+        c:2774-2790 semantics), eph_post the set after the span-end
+        rollover check (what the boundary allocation pass sees).  This
+        is the ONE copy of the span/boundary/rollover protocol; it must
+        stay in lockstep with plan()'s own _blocks_to_boundary or
+        batched callers (plan_group, skip, the Monte-Carlo control
+        plane) lose clock sync with the plans they feed."""
+        spans = []
+        jblk, ieph = self.jblk, self.ieph
+        left = total_blocks
+        while n_superframes is None or len(spans) < n_superframes:
+            cap = max_blocks if left is None else min(max_blocks, left)
+            if cap <= 0:
+                break
+            t0 = self._epoch_time(jblk)
+            rem = (-int(round(t0.sec * 10.0))) % 300
+            M = min(rem if rem > 0 else 300, cap)
+            t_end = self._epoch_time(jblk + M)
+            bnd = int(round(t_end.sec * 10.0)) % 300 == 0
+            post = scenario_mod.advance_ephemeris_set(
+                self.rin, ieph, t_end) if bnd else ieph
+            spans.append((jblk, M, ieph, t_end, bnd, post))
+            jblk += M
+            if left is not None:
+                left -= M
+            ieph = post
+        return spans
+
     # -- planning ----------------------------------------------------------
 
     def plan(self, max_blocks: int, rho=None, rho_in_slots: bool = False,
@@ -240,32 +279,16 @@ class Scheduler:
         """
         if n_superframes <= 0:
             return []
-        # simulate the (start, length, eph set) of each span plan() will
-        # take — all deterministic host arithmetic; rollover lookahead
-        # mirrors _boundary_update's advance_ephemeris_set call.
-        # bounds[k] = (jblk_end, post-rollover eph set) for each span
-        # ending on a 30 s boundary — the inputs of the batched
-        # boundary-visibility precomp below.
-        spans = []
-        bounds: dict[int, tuple[int, int]] = {}
-        jblk, ieph = self.jblk, self.ieph
-        left = total_blocks
-        for _ in range(n_superframes):
-            cap = max_blocks if left is None else min(max_blocks, left)
-            if cap <= 0:
-                break
-            t0 = self._epoch_time(jblk)
-            rem = (-int(round(t0.sec * 10.0))) % 300
-            M = min(rem if rem > 0 else 300, cap)
-            spans.append((jblk, M, ieph))
-            jblk += M
-            if left is not None:
-                left -= M
-            t_end = self._epoch_time(jblk)
-            if int(round(t_end.sec * 10.0)) % 300 == 0:
-                ieph = scenario_mod.advance_ephemeris_set(
-                    self.rin, ieph, t_end)
-                bounds[len(spans) - 1] = (jblk, ieph)
+        # one shared span pre-simulation (simulate_spans); bounds[k] =
+        # (jblk_end, post-rollover eph set) for each span ending on a
+        # 30 s boundary — the inputs of the batched boundary-visibility
+        # precomp below
+        recs = self.simulate_spans(max_blocks, n_superframes=n_superframes,
+                                   total_blocks=total_blocks)
+        spans = [(jb, M, pre_eph) for jb, M, pre_eph, _, _, _ in recs]
+        bounds = {k: (jb + M, post)
+                  for k, (jb, M, _, _, bnd, post) in enumerate(recs)
+                  if bnd}
 
         # boundary allocation inputs for the whole group in ONE batched
         # visibility solve (per-boundary [32] solves were numpy-overhead
@@ -364,30 +387,15 @@ class Scheduler:
         host-partition entry point that replaces the reference's
         strictly sequential loop (plutogpssim.c:2655-2806) at host
         scale."""
-        # pre-simulate (stop block, pre-rollover eph set, boundary flag,
-        # post-rollover eph set): ieph advances only at 30 s boundaries
-        # via the deterministic advance_ephemeris_set, mirroring
-        # _boundary_update; each stop's anchor solve uses the
-        # PRE-rollover set (c:2774-2790 semantics), the boundary
-        # allocation pass the POST set
-        stops: list[tuple[int, int, bool, int]] = []
-        bounds: dict[int, tuple[int, int]] = {}
-        left = int(n_blocks)
-        jblk, ieph = self.jblk, self.ieph
-        while left > 0:
-            t0 = self._epoch_time(jblk)
-            rem = (-int(round(t0.sec * 10.0))) % 300
-            M = min(rem if rem > 0 else 300, left)
-            jblk += M
-            left -= M
-            pre_set = ieph
-            t_end = self._epoch_time(jblk)
-            bnd = int(round(t_end.sec * 10.0)) % 300 == 0
-            if bnd:
-                ieph = scenario_mod.advance_ephemeris_set(
-                    self.rin, ieph, t_end)
-                bounds[len(stops)] = (jblk, ieph)
-            stops.append((jblk, pre_set, bnd, ieph))
+        # one shared span pre-simulation (simulate_spans); each stop's
+        # anchor solve uses the PRE-rollover set (c:2774-2790
+        # semantics), the boundary allocation pass the POST set
+        recs = self.simulate_spans(total_blocks=int(n_blocks))
+        stops = [(jb + M, pre_eph, bnd, post)
+                 for jb, M, pre_eph, _, bnd, post in recs]
+        bounds = {k: (jb + M, post)
+                  for k, (jb, M, _, _, bnd, post) in enumerate(recs)
+                  if bnd}
 
         # batched boundary-allocation visibility, as in plan_group
         pre = self._boundary_precomp(bounds)

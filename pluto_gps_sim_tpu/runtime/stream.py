@@ -87,6 +87,12 @@ class IqStream:
             if n > MAX_BLOCK_SAMPLES:
                 self._split_k = -(-n // MAX_BLOCK_SAMPLES)
         self.mode = mode
+        # public split geometry for as_device consumers (see
+        # superframes()); sub_block_samples matches what split_plan
+        # derives per dispatch
+        self.split_k = self._split_k
+        self.sub_block_samples = -(-self.sched.block_samples
+                                   // self._split_k)
         self.device = device
         self.mesh = mesh  # jax.sharding.Mesh("time", "chan") or None
         # gain-trunc patch words dropped to the per-block slot cap by
@@ -94,6 +100,15 @@ class IqStream:
         # kernel's f32 trunc, +-1 LSB on that block's dwell samples);
         # per-stream so concurrent streams / MC batches attribute drops
         self.patch_dropped = 0
+        # one-compiled-variant latch: patch-free groups normally use the
+        # narrow-plane PATCHES=False kernel, but the first group that
+        # carries a residual patch word (rare mixed-direction straddle;
+        # measured zero on every scenario since the gain nudge) needs
+        # the patch-pass variant — latch it so the stream compiles at
+        # most one extra variant in its lifetime instead of flip-
+        # flopping shapes (a fresh variant is a ~20-40 s Mosaic compile
+        # mid-stream)
+        self._saw_patches = False
         # packed C/A tables keyed by the +-1 chip table's bytes: the
         # channel allocation only changes at rise/set (minutes), so
         # every superframe of a dispatch group usually shares ONE
@@ -147,7 +162,15 @@ class IqStream:
         int16 [M, N, 2] — for the pallas path, packed int32 IQ
         [M, nt*tile] still on the TPU — so device-side consumers
         (reductions, swarm statistics, a device-resident downstream DSP
-        stage) skip the host fetch entirely.
+        stage) skip the host fetch entirely.  When the transparent
+        sub-block split is active (self.split_k > 1, i.e. block_samples
+        exceeded the kernel's Q24 range), the raw rows are the
+        SUB-blocks: [M*split_k, nt*tile] with self.sub_block_samples
+        true samples per row, the last sub-row of each scenario block
+        extrapolating past the block end (like tile padding, which raw
+        rows always carry) — a consumer mapping rows to 0.1 s blocks
+        must reassemble via (split_k, sub_block_samples); host-fetch
+        consumers get the reassembled [M, N, 2] either way.
         """
         if self.n_hosts > 1:
             if n_blocks_total is None:
@@ -300,6 +323,8 @@ class IqStream:
         bp = sp.build_group_params(dps)
         self.patch_dropped += bp.patch_dropped
         prmi, prmf = bp.prmi, bp.prmf
+        if not self._saw_patches and np.any(prmf[:, 128:]):
+            self._saw_patches = True
         ca_tabs = self._pack_ca_group([dp.ca2 for dp in dps])
         sf_map = np.concatenate(
             [np.full(dp.n_blocks, i, np.int32)
@@ -434,7 +459,8 @@ class IqStream:
             interpret = not tpus
         return sp.synth_blocks_pallas(
             (prmi, prmf), ca_tabs, sf_map, block_samples,
-            device=device, interpret=interpret)
+            device=device, interpret=interpret,
+            force_patches=self._saw_patches)
 
     # -- snapshot / resume ---------------------------------------------------
 

@@ -171,3 +171,78 @@ def test_mc_streaming_as_device(scenario):
             [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
              (packed >> 16).astype(np.int16)], axis=-1))
     assert np.array_equal(np.concatenate(got, axis=0), mono)
+
+
+def test_mc_union_resolve_branch_matches_per_receiver(scenario):
+    """plan_blocks' union-of-allocated-SVs solve has a re-solve guard
+    for boundary re-allocations that claim an SV outside the solved
+    union (montecarlo.py).  Drive 40 superframes (20 min — the window
+    the plan_group re-solve test uses, with real rise/set churn) at B=2
+    and assert (a) the guard actually FIRED (more batched solves than
+    eph-run/epoch-cap chunks), and (b) the packed parameter planes are
+    bit-identical to independent per-receiver Schedulers planning the
+    same span — the ground truth nothing else checks at churn scale."""
+    import pluto_gps_sim_tpu.parallel.montecarlo as mcm
+    from pluto_gps_sim_tpu.models.lnav import NavCache
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
+    from pluto_gps_sim_tpu.runtime.scheduler import Scheduler
+
+    rin, g0, ieph = scenario
+    xyz = _perturbed_receivers(2)
+    n_blocks = 40 * 300
+    mc = MonteCarloBatch(rin, g0, ieph, xyz, fs=FS, block_samples=BS)
+
+    # expected chunk count from the shared span simulation (state is
+    # untouched by simulate_spans)
+    spans = mc.scheds[0].simulate_spans(total_blocks=n_blocks)
+    chunks = 0
+    i = 0
+    while i < len(spans):
+        j, total = i, spans[i][1]
+        while (j + 1 < len(spans) and spans[j + 1][2] == spans[i][2]
+               and total + spans[j + 1][1] + 1
+               <= MonteCarloBatch._SOLVE_CHUNK_EPOCHS):
+            j += 1
+            total += spans[j][1]
+        chunks += 1
+        i = j + 1
+
+    sv0 = [s.state.sv_idx.copy() for s in mc.scheds]
+    calls = []
+    orig = mcm.solve_ranges_batch_lean
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    mcm.solve_ranges_batch_lean = spy
+    try:
+        prmi, prmf, ca2, sf_map = mc.plan_blocks(n_blocks)
+    finally:
+        mcm.solve_ranges_batch_lean = orig
+
+    assert any(not np.array_equal(a, s.state.sv_idx)
+               for a, s in zip(sv0, mc.scheds)), \
+        "scenario never re-allocated channels; guard untested"
+    assert len(calls) > chunks, \
+        (len(calls), chunks,
+         "union re-solve branch never fired; pin a churnier span")
+    assert mc.patch_dropped == 0
+
+    # ground truth: independent per-receiver schedulers over the same
+    # span (fresh NavCache per receiver — nav products are content-
+    # keyed, so sharing changes nothing)
+    for b in range(2):
+        sched = Scheduler(rin, g0, ieph, xyz[b], fs=FS, block_samples=BS,
+                          nav_cache=NavCache())
+        plans, done = [], 0
+        while done < n_blocks:
+            p = sched.plan(n_blocks - done)
+            plans.append(p)
+            done += p.n_blocks
+        bp = sp.build_group_params(
+            [pack_plan(p, tables=False) for p in plans])
+        lo = b * n_blocks
+        assert np.array_equal(prmi[lo:lo + n_blocks], bp.prmi), b
+        assert np.array_equal(prmf[lo:lo + n_blocks], bp.prmf), b
