@@ -584,3 +584,33 @@ def test_split_plan_lifts_block_cap(rinex, monkeypatch):
     # a few samples may straddle the shared ~1e-11-chip trunc floor
     assert int((d > 0).sum()) <= 8 and int(d.max()) <= 8, (
         int((d > 0).sum()), int(d.max()))
+
+
+def test_patch_variant_latch_is_output_invariant(rinex):
+    """The per-stream patch-variant latch (IqStream._saw_patches ->
+    synth_blocks_pallas force_patches) exists to pin ONE compiled kernel
+    variant per stream; the wide (patch-pass) variant on a patch-free
+    dispatch must produce bit-identical output to the narrow fast path,
+    at both the kernel and the stream level."""
+    from pluto_gps_sim_tpu.ops import synth_pallas as sp
+    from pluto_gps_sim_tpu.ops.synth_jnp import pack_plan
+
+    g0 = setup_scenario(rinex, None)
+    ieph = select_ephemeris_set(rinex, g0)
+    sched = Scheduler(rinex, g0, ieph, _xyz(), fs=FS, block_samples=16384)
+    dp = pack_plan(sched.plan(2), tables=False)
+    prm = sp.build_group_params([dp])
+    assert not np.any(prm.prmf[:, 128:]), "fixture dispatch not patch-free"
+    args = (prm, sp.pack_ca_tables([dp.ca2]),
+            np.zeros(dp.n_blocks, np.int32), dp.block_samples)
+    narrow = np.asarray(sp.synth_blocks_pallas(*args, interpret=True))
+    wide = np.asarray(sp.synth_blocks_pallas(*args, interpret=True,
+                                             force_patches=True))
+    assert np.array_equal(narrow, wide)
+
+    a = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=16384,
+                 mode="pallas").generate(2)
+    s = IqStream(rinex, g0, ieph, _xyz(), fs=FS, block_samples=16384,
+                 mode="pallas")
+    s._saw_patches = True                 # latched stream, same output
+    assert np.array_equal(s.generate(2), a)
