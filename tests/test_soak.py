@@ -71,7 +71,9 @@ def test_soak_rollover_vs_oracle(oracle_exe, tmp_path, fixture_paths):
     exact = float(np.mean(ref == ours))
     print(f"rollover soak: SNR {snr:.1f} dB, bit-exact {exact:.4%}, "
           f"{ref.shape[0]} blocks")
-    # measured floor (round 2): 82.0 dB / 99.990% over these 990 blocks.
+    # measured: 82.0 dB / 99.990% (round 2); 81.2 dB / 99.9994% on the
+    # round-5 tree (the numpy control-plane port moves ranges <=1-2 ulp,
+    # nm-scale — SNR wiggles within the band, bit-exact fraction 17x up).
     # The residual is ~2 blocks with one chip-edge sample flip each where
     # the reference's SEQUENTIAL f64 code-phase accumulation (c:2709,
     # biased rounding drift up to ~1e-9 chips by block end) legitimately
