@@ -150,6 +150,21 @@ def _env_fingerprint(tpu) -> dict:
                 np.asarray(d)
                 ts.append(time.time() - t0)
             fp["d2h_MBps"] = round(64.0 / float(np.median(ts)), 1)
+            # dispatch-chain throughput: an async chain of tiny distinct
+            # kernels, one sync at the end — the tunnel dimension the
+            # RTT/bandwidth probes miss (one captured hour read kernel
+            # slope 3749 Msps but pipelined 1166x with healthy RTT/H2D:
+            # the per-dispatch ingest rate itself had degraded)
+            f = jax.jit(lambda a, b: a + b)   # runs where the inputs live
+            xs = [jax.device_put(jnp.full((8,), i, jnp.int32), tpu)
+                  for i in range(4)]
+            f(xs[0], xs[1]).block_until_ready()
+            t0 = time.time()
+            acc = xs[0]
+            for i in range(40):
+                acc = f(acc, xs[i % 4])
+            acc.block_until_ready()
+            fp["dispatch_chain_per_s"] = round(40.0 / (time.time() - t0), 1)
     except Exception as e:                    # fingerprint must not kill bench
         fp["probe_error"] = str(e)
     return fp
