@@ -209,12 +209,39 @@ def split_plan(dp: DevicePlan, max_samples: int) -> DevicePlan:
     K = -(-N // max_samples)
     sub = -(-N // K)
     M, C = dp.active.shape
-    offs = np.arange(K, dtype=np.float64) * sub            # [K]
-    c0 = dp.c0[:, None, :] + dp.u[:, None, :] * offs[None, :, None]
-    cpt = dp.cp0[:, None, :] + dp.v[:, None, :] * offs[None, :, None]
-    w = np.floor(cpt / CA_SEQ_LEN)
-    cp0 = cpt - CA_SEQ_LEN * w                             # [M, K, C]
-    ic0 = dp.ic0[:, None, :] + w.astype(np.int32)
+    offs = np.arange(K, dtype=np.float64) * sub            # [K] exact ints
+
+    # Re-anchor with a Dekker-split two-term product: a plain
+    # c0 + u*(k*sub) rounds once at magnitude ~|u|*K*sub (~500 carrier
+    # cycles at fs=10 MHz), i.e. ~2.4e-4 u32 units — enough for ~24
+    # adjacent-LUT straddles per 96M samples on the compiled gate.
+    # Splitting u = u_hi + u_lo (26-bit u_hi) makes u_hi*T exact
+    # (26+20 < 53 bits), its frac extraction exact, and the remaining
+    # sum |c0 + frac| <= 2 rounds at ~4e-6 units — the same class as
+    # the unsplit path's own f64 floor.  Same trick for the code
+    # anchor, with the exact multiple of 1023 peeled off u_hi*T by an
+    # exact fmod so the rebase error sits at ~1e-12 chips (below the
+    # kernel's 1.5e-11 Q36 truncation).
+    def dekker_hi(x):
+        c = x * (2.0 ** 27 + 1.0)
+        hi = c - (c - x)
+        return hi
+
+    u = dp.u[:, None, :]
+    u_hi = dekker_hi(u)
+    p1 = u_hi * offs[None, :, None]                        # exact
+    c0 = dp.c0[:, None, :] + (p1 - np.floor(p1)) \
+        + (u - u_hi) * offs[None, :, None]
+
+    v = dp.v[:, None, :]
+    v_hi = dekker_hi(v)
+    q1 = v_hi * offs[None, :, None]                        # exact
+    m1 = np.fmod(q1, float(CA_SEQ_LEN))                    # exact
+    w1 = (q1 - m1) / CA_SEQ_LEN                            # exact integer
+    rest = dp.cp0[:, None, :] + m1 + (v - v_hi) * offs[None, :, None]
+    w2 = np.floor(rest / CA_SEQ_LEN)
+    cp0 = rest - CA_SEQ_LEN * w2                           # [M, K, C]
+    ic0 = dp.ic0[:, None, :] + (w1 + w2).astype(np.int32)
 
     def rep(a):
         """[M, C, ...] -> [M*K, C, ...] with each row repeated K times."""
