@@ -5,7 +5,7 @@ configuration — it must sustain 2.6 Msps on one CPU core to avoid SDR
 underruns; plutogpssim.c:43, 2152).  We synthesize minutes of signal per
 device call with the fused Pallas kernel and report samples/s.
 
-Five measurements, one JSON line:
+Core measurements, one JSON line:
 
   value / vs_baseline   kernel throughput (timing SLOPE between a 1-call
                         and a 6-call chain of distinct parameter sets, so
@@ -41,8 +41,15 @@ Five measurements, one JSON line:
                         delivery overlaps the next group's synthesis) —
                         the delivered-samples contract (c:2152).
                         Limited by this environment's tunnel D2H
-                        (~15-22 MB/s measured; a directly attached host
+                        (6-30 MB/s across captured hours, recorded in
+                        the env fingerprint; a directly attached host
                         has ~3 orders more PCIe bandwidth).
+
+Also recorded per run: host_ctrl_ms_per_sf (the host-bound pipeline's
+governing quantity), patch-drop counters (hard-gated to zero),
+pipelined_metric_version, and an `env` fingerprint (nproc, loadavg,
+tunnel RTT, H2D/D2H MB/s, dispatch-chain rate) so a slow-tunnel hour is
+distinguishable from a regression inside the artifact itself.
 
 Before timing, the kernel output is VERIFIED elementwise against the
 f64 precise path: >=99.99% of int16 components bit-exact and max
