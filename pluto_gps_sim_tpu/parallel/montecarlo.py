@@ -66,6 +66,19 @@ class MonteCarloBatch:
             raise ValueError("xyz_batch must be [B, 3] or [B, numd, 3]")
         self.B = xyz_batch.shape[0]
         self.rin = rin
+        bs = int(block_samples or round(fs / 10))
+        if bs > sp.MAX_BLOCK_SAMPLES:
+            # the single-receiver stream splits over-long blocks into
+            # re-anchored sub-blocks (runtime.stream.IqStream /
+            # ops.synth_jnp.split_plan); the batch path doesn't carry
+            # the reassembly plumbing — fail with guidance instead of
+            # the kernel builder's bare range assert
+            raise ValueError(
+                f"block_samples={bs} exceeds the fused kernel's Q24 "
+                f"range ({sp.MAX_BLOCK_SAMPLES}; fs <= 5.24 MHz at "
+                f"0.1 s blocks); Monte-Carlo batches do not sub-block "
+                f"split — use fs <= 5.24 MHz, or per-receiver IqStream "
+                f"runs (which split transparently)")
         self.nav_cache = NavCache()
         # batched initial-allocation solves at t_0 (motion sample 0)
         pre = self._alloc_precomp(rin.eph[ieph], start, xyz_batch[:, 0])

@@ -246,3 +246,13 @@ def test_mc_union_resolve_branch_matches_per_receiver(scenario):
         lo = b * n_blocks
         assert np.array_equal(prmi[lo:lo + n_blocks], bp.prmi), b
         assert np.array_equal(prmf[lo:lo + n_blocks], bp.prmf), b
+
+
+def test_mc_rejects_blocks_beyond_kernel_range(scenario):
+    """fs > 5.24 MHz exceeds the fused kernel's Q24 block range; the
+    single-receiver stream splits transparently but the batch path does
+    not — MonteCarloBatch must fail with guidance at construction, not
+    with the kernel builder's bare assert mid-plan."""
+    rin, g0, ieph = scenario
+    with pytest.raises(ValueError, match="Q24 range"):
+        MonteCarloBatch(rin, g0, ieph, _perturbed_receivers(2), fs=10e6)
