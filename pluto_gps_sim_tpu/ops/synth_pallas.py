@@ -76,6 +76,7 @@ map), amortizing dispatch overhead across minutes of signal.
 
 from __future__ import annotations
 
+import sys
 import functools
 from typing import NamedTuple
 
@@ -803,10 +804,19 @@ def unpack_iq(packed, block_samples: int | None = None) -> np.ndarray:
 
     The kernel packs (I & 0xffff) | (Q << 16) per sample (see module
     docstring); this is the one inverse every consumer shares.
-    block_samples trims each row's tile padding first."""
+    block_samples trims each row's tile padding first.
+
+    On little-endian hosts the packed word's bytes ARE the interleaved
+    int16 pair ([I_lo, I_hi, Q_lo, Q_hi]), so the unpack is one
+    contiguous copy + reinterpreting view — ~4x less memory traffic
+    than the mask/shift/stack form (which remains as the big-endian
+    fallback); the delivered-IQ path runs this over the full stream."""
     packed = np.asarray(packed)
     if block_samples is not None:
         packed = packed[..., :block_samples]
+    if sys.byteorder == "little":
+        out = np.ascontiguousarray(packed)
+        return out.view(np.int16).reshape(*out.shape, 2)
     return np.stack(
         [(packed & 0xFFFF).astype(np.uint16).view(np.int16),
          (packed >> 16).astype(np.int16)], axis=-1)
